@@ -1,0 +1,135 @@
+"""Vectorized MinHash signatures + LSH band explosion.
+
+Reference behavior: ``datasketch.MinHash(num_perm=128)`` over char-5
+shingles of the normalized text, candidates from
+``MinHashLSH(threshold=0.8)``, verified by signature Jaccard >= 0.80
+(/root/reference/src/epstein_pipeline/processors/dedup.py:332-398).
+
+This module re-derives that scheme from first principles for Spark:
+
+- shingle hashing: numpy vectorized polynomial rolling hash over the
+  UTF-8 byte array (no per-shingle Python objects, no string set),
+- 128 permutations: universal hashing ``(a*h + b) mod p`` with
+  p = 2^61 - 1, a/b from a seeded RNG, min-reduced with one numpy
+  broadcast per document,
+- banding: done JVM-side with ``xxhash64`` over signature slices
+  (see ``band_hashes_expr``), so only the signature itself needs
+  Python.
+
+Everything is a pandas UDF over Arrow batches — never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_BASE = np.uint64(1_000_003)  # polynomial base for shingle hashing
+_EMPTY_SIG_SEED = 0x9E3779B97F4A7C15  # signature slot for empty docs
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    # a in [1, p-1], b in [0, p-1]
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 hashes of all char-k-shingles, vectorized.
+
+    Rolling polynomial hash over UTF-8 bytes: h(i) = sum_{j<k}
+    byte[i+j] * BASE^(k-1-j) (mod 2^64). Shingling over *bytes* of the
+    normalized text is equivalent to char shingles for ASCII corpora
+    and a stable superset otherwise.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.shape[0]
+    if n < k:
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        k = n  # short docs: one shingle of the whole text
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _BASE
+        # windows (n-k+1, k) via strided view, dot with powers mod 2^64
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (windows * powers).sum(axis=1, dtype=np.uint64)
+    # mix (xorshift) to spread low-entropy byte patterns
+    h ^= h >> np.uint64(33)
+    with np.errstate(over="ignore"):
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return np.unique(h)  # set semantics, like the reference's set()
+
+
+def _signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """128-slot min over universal hashes, mod 2^61-1."""
+    if hashes.shape[0] == 0:
+        return np.full(a.shape[0], _EMPTY_SIG_SEED, dtype=np.uint64)
+    h = (hashes % _MERSENNE).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        # (num_perm, n) broadcast; for long docs chunk to bound memory
+        out = np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+        step = max(1, 4_000_000 // max(1, a.shape[0]))
+        for i in range(0, h.shape[0], step):
+            chunk = h[i : i + step]
+            vals = (a[:, None] * chunk[None, :] + b[:, None]) % _MERSENNE
+            np.minimum(out, vals.min(axis=1), out)
+    return out
+
+
+def make_minhash_udf(k: int = 5, num_perm: int = 128, seed: int = 1):
+    """pandas UDF: normalized text -> array<long> signature (128 slots).
+
+    Values fit in int64 (mod 2^61-1 < 2^63).
+    """
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                t = ""
+            sig = _signature(_shingle_hashes(t, k), a, b)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def band_hashes_expr(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
+    """array<long> of per-band hashes, computed JVM-side.
+
+    band_hash[i] = xxhash64(i, slice(sig, i*r+1, r)) — banding never
+    leaves the JVM; only the signature UDF touches Python.
+    """
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.xxhash64(i, F.slice(c, i * rows_per_band + 1, rows_per_band)),
+    )
+
+
+def signature_jaccard_expr(s1: Column, s2: Column, num_perm: int) -> Column:
+    """Estimated Jaccard = fraction of equal signature slots
+    (reference mh1.jaccard(mh2), dedup.py:386)."""
+    eq = F.filter(F.zip_with(s1, s2, lambda x, y: x == y), lambda v: v)
+    return F.size(eq) / F.lit(float(num_perm))
+
+
+def py_exact_jaccard(text1: str, text2: str, k: int = 5) -> float:
+    """Exact shingle-set Jaccard — test oracle for the estimator."""
+    s1 = {text1[i : i + k] for i in range(max(1, len(text1) - k + 1))}
+    s2 = {text2[i : i + k] for i in range(max(1, len(text2) - k + 1))}
+    if not s1 and not s2:
+        return 1.0
+    return len(s1 & s2) / len(s1 | s2)

@@ -1,0 +1,254 @@
+"""Text normalization, hashing, extraction and analysis columns.
+
+Parity contract: ``normalize_text_expr`` / ``py_normalize_text`` must
+reproduce the reference's ``normalize_text``
+(/root/reference/src/epstein_pipeline/utils/hashing.py:12-14):
+``re.sub(r"\\s+", " ", text.lower().strip())`` — lowercase, strip,
+collapse whitespace runs to single spaces. ``content_hash_expr``
+mirrors ``content_hash`` (hashing.py:17-20): sha256 hex of the
+normalized text.
+
+All Spark-side versions are pure SQL expressions (JVM, codegen) — the
+fast path. The ``py_*`` twins are the byte-identity oracles used in
+tests.
+
+Note on regex engines: Python ``\\s`` is unicode-aware, Java's is
+ASCII by default. We pass (?U) to make Java's \\s unicode-aware so the
+two agree on non-ASCII whitespace (e.g. \\xa0).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS_RUN = re.compile(r"\s+")
+
+# Java regex: (?U) makes \s match unicode whitespace like Python's re.
+_JAVA_WS = r"(?U)\s+"
+# Python str.strip() strips unicode whitespace; trim() only ASCII space.
+# Collapsing runs first, then trimming single leading/trailing spaces,
+# gives identical results.
+
+
+def py_normalize_text(text: str) -> str:
+    """Reference-identical normalization (hashing.py:12-14)."""
+    return _WS_RUN.sub(" ", text.lower().strip())
+
+
+def py_content_hash(text: str) -> str:
+    """Reference-identical content hash (hashing.py:17-20)."""
+    return hashlib.sha256(py_normalize_text(text).encode("utf-8")).hexdigest()
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """Spark-SQL twin of py_normalize_text. JVM-side, codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    collapsed = F.regexp_replace(F.lower(c), _JAVA_WS, " ")
+    # strip the (at most one) leading/trailing space left by collapsing
+    return F.regexp_replace(collapsed, r"^ | $", "")
+
+
+def content_hash_expr(col: Column | str) -> Column:
+    """sha256 hex of normalized text — the exact-dedup key."""
+    return F.sha2(normalize_text_expr(col), 256)
+
+
+def file_hash_expr(col: Column | str) -> Column:
+    """sha256 of raw bytes (reference file_hash, hashing.py:23-36)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+# ---------------------------------------------------------------------------
+# OCR-noise cleaning (reference processors/chunker.py:26-29,381-388)
+# ---------------------------------------------------------------------------
+
+_PY_CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_PY_REPEAT = re.compile(r"(.)\1{9,}")
+_PY_RULE = re.compile(r"^[\s\-_=~.*#]{4,}$", re.MULTILINE)
+_PY_BLANKS = re.compile(r"\n{3,}")
+
+
+def py_clean_ocr_noise(text: str) -> str:
+    """Reference-shaped OCR noise cleanup: drop control chars, collapse
+    10+ repeated chars to 3, drop decorative rule lines, cap blank runs."""
+    text = _PY_CTRL.sub("", text)
+    text = _PY_REPEAT.sub(lambda m: m.group(1) * 3, text)
+    text = _PY_RULE.sub("", text)
+    text = _PY_BLANKS.sub("\n\n", text)
+    return text
+
+
+def clean_ocr_noise_expr(col: Column | str) -> Column:
+    """SQL twin of py_clean_ocr_noise (4 chained regexp_replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    c = F.regexp_replace(c, r"(.)\1{9,}", "$1$1$1")
+    c = F.regexp_replace(c, r"(?m)^[\s\-_=~.*#]{4,}$", "")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the "OCR" stage of our pages table)
+# ---------------------------------------------------------------------------
+
+_PY_SCRIPT = re.compile(r"(?is)<(script|style|nav|header|footer)[^>]*>.*?</\1>")
+_PY_BLOCK_CLOSE = re.compile(r"(?i)</(p|div|h[1-6]|li|tr|title)>")
+_PY_TAG = re.compile(r"(?s)<[^>]+>")
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def py_extract_text(html: bytes | str) -> str:
+    """Deterministic HTML -> text: drop script/style/nav/header/footer
+    subtrees, close block tags as newlines, strip remaining tags,
+    unescape the 6 common entities, collapse blank runs, strip.
+
+    This is the engine's stand-in for the reference's OCR fallback chain
+    (processors/ocr.py:761-853): a pure, reproducible extract whose
+    output is the byte-identical-text invariant per url.
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    text = _PY_SCRIPT.sub("", html)
+    text = _PY_BLOCK_CLOSE.sub("\n", text)
+    text = _PY_TAG.sub("", text)
+    for ent, ch in _ENTITIES:
+        text = text.replace(ent, ch)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    text = re.sub(r"\n{2,}", "\n\n", text)
+    return text.strip()
+
+
+def extract_text_expr(col: Column | str) -> Column:
+    """SQL twin of py_extract_text over a binary html column.
+
+    Stays entirely in the JVM (decode + chained regexp_replace) so the
+    extract stage never crosses into Python at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.decode(c, "UTF-8")
+    t = F.regexp_replace(t, r"(?is)<(script|style|nav|header|footer)[^>]*>.*?</\1>", "")
+    t = F.regexp_replace(t, r"(?i)</(p|div|h[1-6]|li|tr|title)>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n\n")
+    # Python str.strip() strips \n too; JVM trim() is space-only
+    return F.regexp_replace(t, r"(?U)^\s+|\s+$", "")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis columns (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic — enough to separate en/de/fr deterministically.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"],
+}
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count over normalized text."""
+    return F.size(F.split(normalize_text_expr(col), " "))
+
+
+def word_tokens_expr(col: Column | str) -> Column:
+    """Normalized whitespace tokens as array<string>."""
+    return F.split(normalize_text_expr(col), " ")
+
+
+def bpe_ish_token_count_expr(col: Column | str) -> Column:
+    """A BPE-ish token estimate: count of word/number/punct units via
+    regex, the common pre-tokenization shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda x: (x != "") & (x != " "),
+        )
+    )
+
+
+def _stopword_ratio(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(F.array_distinct(tokens), F.array(*[F.lit(w) for w in words]))) / F.lit(
+        len(words)
+    )
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Heuristic language ID: distinct-stopword hit ratio per language,
+    argmax, 'und' (undetermined) when nothing matched."""
+    tokens = word_tokens_expr(col)
+    scored = F.array(
+        *[
+            F.struct(_stopword_ratio(tokens, ws).alias("score"), F.lit(lang).alias("lang"))
+            for lang, ws in _STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Heuristic extraction-quality score in [0,1], mirroring the
+    reference's OCR confidence blend (processors/ocr.py:80-118):
+    0.40*printable_ratio + 0.30*word_length_score + 0.30*stopword_score.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c), F.lit(1))
+    printable = (n - F.length(F.regexp_replace(c, r"[\x20-\x7e\s]", ""))) / n
+    tokens = word_tokens_expr(c)
+    avg_word = F.aggregate(tokens, F.lit(0), lambda acc, x: acc + F.length(x)) / F.greatest(
+        F.size(tokens), F.lit(1)
+    )
+    # plausible mean word length 3..8 scores 1.0, decaying outside
+    word_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_word - F.lit(5.5)) / F.lit(5.5))
+    stop_score = F.least(F.lit(1.0), _stopword_ratio(tokens, _STOPWORDS["en"]) * 2)
+    return F.round(printable * 0.40 + word_score * 0.30 + stop_score * 0.30, 6)
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct char k-shingles of the normalized text as array<string>
+    (reference _text_shingles, processors/dedup.py:98-103).
+
+    SQL-expressible form used for small-scale oracle checks; the scale
+    path hashes shingles inside the MinHash pandas UDF instead of
+    materializing them.
+    """
+    norm = normalize_text_expr(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) over normalized tokens."""
+    tokens = word_tokens_expr(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def rolling_fingerprint_expr(col: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: min md5 over word-3-gram shingles (a
+    1-perm MinHash). md5 is available in both Spark and DuckDB so the
+    oracle can reproduce it exactly."""
+    return F.array_min(F.transform(word_ngrams(col, n), lambda g: F.md5(g)))

@@ -1,0 +1,133 @@
+"""Connected components via alternating large-star / small-star.
+
+The scalable replacement for the reference's in-memory path-halving
+union-find (processors/dedup.py:183-206). Algorithm: Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SOCC'14) — public
+literature; converges in O(log n) rounds:
+
+    large-star: per node u, m = min(N(u) ∪ {u});
+                emit (v, m) for every neighbor v > u
+    small-star: per node u over downward edges (v < u),
+                m = min(N-(u) ∪ {u}); emit (v, m) for v in N-(u) ∪ {u}
+
+Iterate until the edge multiset is stable; the fixpoint is a forest of
+stars (u -> component root, root = min node id). Node ids are the url
+strings themselves — no global id assignment pass, and lexicographic
+order is a total order, so "min" is deterministic.
+
+Driver-loop notes (SURVEY.md §4): Catalyst cannot express iteration,
+so this is a driver loop with ``localCheckpoint`` every
+``checkpoint_every`` rounds to cut lineage; convergence is detected
+with a (count, xor-of-hashes) edge-set digest, one tiny aggregate per
+round. AQE's skew-join splitting handles the high-degree root of a
+mega-cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges: (src, dst) symmetric. Emit (v, m) for v > u."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """edges oriented (src > dst). Emit (v, m) for v in N-(u) ∪ {u}."""
+    down = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = down.groupBy("src").agg(F.min("dst").alias("m"))
+    j = down.join(m, "src")
+    to_nbrs = j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    to_self = j.select("src", F.col("m").alias("dst")).distinct()
+    return (
+        to_nbrs.union(to_self)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _digest(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Label pairs' transitive closure: returns (url, cluster_id) where
+    cluster_id = min url in the component.
+
+    ``pairs`` needs columns url1/url2. If ``nodes`` (one column url) is
+    given, singletons get cluster_id = their own url.
+    """
+    edges = pairs.select(F.col("url1").alias("src"), F.col("url2").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+
+    prev = None
+    for it in range(max_iters):
+        edges = _small_star(_large_star(edges))
+        # the digest below is an action anyway; localCheckpoint on the
+        # same pass truncates lineage before the next round's joins
+        edges = edges.localCheckpoint(eager=True)
+        cur = _digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = edges.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
+    # roots appear only as dst; give them self-labels
+    roots = edges.select(F.col("dst").alias("url")).distinct().withColumn(
+        "cluster_id", F.col("url")
+    )
+    labels = labels.union(roots).groupBy("url").agg(F.min("cluster_id").alias("cluster_id"))
+
+    if nodes is not None:
+        labels = (
+            nodes.select(F.col(nodes.columns[0]).alias("url"))
+            .distinct()
+            .join(labels, "url", "left")
+            .select("url", F.coalesce("cluster_id", "url").alias("cluster_id"))
+        )
+    return labels
+
+
+def py_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Path-halving union-find oracle — reference-equivalent semantics
+    (processors/dedup.py:183-206) with min-id roots, used in tests to
+    check the distributed labels exactly."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}

@@ -1,0 +1,135 @@
+"""Embedding-cosine near-duplicate pass + ANN search.
+
+Reference: semantic pass (processors/dedup.py:404-464) builds the full
+N x N cosine matrix and keeps sim >= 0.95; semantic_search
+(exporters/neon_schema.py:301-326) is cosine top-k with HNSW.
+
+Spark restatement:
+- ``cosine_pairs_brute``  — exact all-pairs (block-joined), the small-
+  scale oracle path and the correctness baseline.
+- ``cosine_pairs_rhp``    — scale path: random-hyperplane (sign-bit)
+  LSH bucketing, equi-join per band, exact cosine verify. Same shape
+  as the SimHash text pass: sublinear candidates, exact verification.
+- ``topk_cosine``         — brute-force top-k against one query vector
+  (exact; the HNSW stand-in — Spark side is *more* exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from epstein_pipeline_spark.functions.vectors import cosine_expr, make_cosine_to_query_udf
+
+
+def cosine_pairs_brute(
+    embs: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs cosine >= threshold. O(n^2) — test scale only
+    (mirrors the reference's exact semantics)."""
+    e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("score", cosine_expr(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.round("score", 6).alias("score"),
+            F.lit("semantic").alias("method"),
+        )
+    )
+
+
+def make_rhp_udf(dim: int, n_bits: int = 16, n_tables: int = 8, seed: int = 7):
+    """pandas UDF: embedding -> array<long> of n_tables sign-bucket ids.
+
+    Each table hashes the vector against n_bits random hyperplanes; two
+    vectors at angle theta collide in one table with prob
+    (1 - theta/pi)^n_bits — for cosine 0.95 (theta~18deg) and 16 bits,
+    ~0.19 per table, ~81% over 8 tables; verification is exact so
+    missed pairs are the only recall cost. Bits/tables are tunable.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def rhp_buckets(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        for t in range(n_tables):
+            signs = (mat @ planes[t].T) > 0  # (n, n_bits)
+            out[:, t] = signs.astype(np.int64) @ weights
+        return pd.Series(list(out))
+
+    return rhp_buckets
+
+
+def cosine_pairs_rhp(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_tables: int = 8,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """LSH-bucketed cosine pair join: candidates from sign-bucket
+    collisions, exact cosine verify >= threshold."""
+    dim = len(embs.select(vec_col).first()[0])
+    udf = make_rhp_udf(dim, n_bits, n_tables)
+    e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_buckets", udf("_v")
+    )
+    bands = e.select("_id", "_v", F.posexplode("_buckets").alias("table_i", "bucket"))
+    sizes = bands.groupBy("table_i", "bucket").agg(F.count("*").alias("_bsz"))
+    bands = bands.join(sizes, ["table_i", "bucket"]).filter(F.col("_bsz") <= bucket_cap)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["table_i", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("a._v").alias("_v1"),
+            F.col("b._id").alias("id2"),
+            F.col("b._v").alias("_v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cands.withColumn("score", cosine_expr(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("score") >= threshold)
+        .select("id1", "id2", F.round("score", 6).alias("score"), F.lit("semantic").alias("method"))
+    )
+
+
+def topk_cosine(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k against a broadcast query vector.
+
+    TakeOrdered (orderBy+limit) never materializes a global sort — each
+    partition keeps its local top-k; the driver merges. use_pandas picks
+    the BLAS matvec scorer; False uses the pure-SQL aggregate (oracle-
+    comparable)."""
+    if use_pandas:
+        scorer = make_cosine_to_query_udf(query_vec)(F.col(vec_col))
+    else:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        scorer = cosine_expr(F.col(vec_col), q)
+    return (
+        embs.select(F.col(id_col), F.round(scorer, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,119 @@
+"""MinHash/LSH candidate generation + Jaccard verification.
+
+Reference: processors/dedup.py:332-398 — MinHashLSH(threshold=0.8,
+num_perm=128) insert/query, then exact signature-Jaccard verify
+>= 0.80. Spark restatement (SURVEY.md J4): signatures -> explode to
+(band_i, band_hash) rows -> equi self-join -> distinct pairs ->
+zip_with signature compare.
+
+Skew guard (SURVEY.md §4.1): hot band buckets (boilerplate headers /
+footers hash whole bands identically) blow up quadratically. Buckets
+larger than ``bucket_cap`` emit a sorted adjacent CHAIN + star to the
+bucket min instead of all pairs — O(n) edges that keep every true
+cluster connected (members of one bucket share a full band, i.e. are
+already high-Jaccard candidates), at the price of a few extra verify
+rejections rather than lost recall: rejected chain edges only matter
+if the bucket mixes distinct clusters, which banding makes rare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.config import DedupConfig
+from epstein_pipeline_spark.functions.minhash import (
+    band_hashes_expr,
+    make_minhash_udf,
+    signature_jaccard_expr,
+)
+from epstein_pipeline_spark.functions.text import normalize_text_expr
+
+
+def minhash_signatures(
+    df: DataFrame, cfg: DedupConfig, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(url, sig: array<long>) for docs passing the length gate
+    (reference dedup.py:346-350: len(text) > 100)."""
+    udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    return (
+        df.filter(F.length(text_col) > cfg.minhash_min_len)
+        .select(F.col(id_col).alias("url"), normalize_text_expr(text_col).alias("_norm"))
+        .withColumn("sig", udf("_norm"))
+        .drop("_norm")
+    )
+
+
+def band_rows(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Explode signatures to (url, band_i, band_hash) — banding is pure
+    JVM (xxhash64 over signature slices)."""
+    return sigs.select(
+        "url",
+        F.posexplode(band_hashes_expr("sig", cfg.bands, cfg.rows_per_band)).alias(
+            "band_i", "band_hash"
+        ),
+    )
+
+
+def candidate_pairs_from_bands(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct (url1 < url2) candidate pairs from band buckets, with
+    the oversized-bucket chain+star guard."""
+    sizes = bands.groupBy("band_i", "band_hash").agg(F.count("*").alias("_bsz"))
+    b = bands.join(sizes, ["band_i", "band_hash"])
+
+    small = b.filter(F.col("_bsz") <= cfg.band_bucket_cap)
+    a1, a2 = small.alias("a"), small.alias("b")
+    small_pairs = (
+        a1.join(a2, ["band_i", "band_hash"])
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url1"), F.col("b.url").alias("url2"))
+    )
+
+    big = b.filter(F.col("_bsz") > cfg.band_bucket_cap)
+    w = Window.partitionBy("band_i", "band_hash").orderBy("url")
+    ranked = big.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_prev", F.lag("url").over(w)
+    ).withColumn("_anchor", F.first("url").over(w))
+    chain = ranked.filter(F.col("_prev").isNotNull()).select(
+        F.col("_prev").alias("url1"), F.col("url").alias("url2")
+    )
+    star = ranked.filter(F.col("_rn") > 2).select(
+        F.col("_anchor").alias("url1"), F.col("url").alias("url2")
+    )
+    return small_pairs.unionByName(chain).unionByName(star).distinct()
+
+
+def score_candidates(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Join signatures back and score every candidate with estimated
+    Jaccard (reference mh1.jaccard, dedup.py:386). No threshold —
+    callers split accepted vs gray-zone."""
+    s1 = sigs.select(F.col("url").alias("url1"), F.col("sig").alias("_s1"))
+    s2 = sigs.select(F.col("url").alias("url2"), F.col("sig").alias("_s2"))
+    return (
+        pairs.join(s1, "url1")
+        .join(s2, "url2")
+        .withColumn("score", signature_jaccard_expr(F.col("_s1"), F.col("_s2"), cfg.num_perm))
+        .select("url1", "url2", "score")
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig, method: str = "minhash"
+) -> DataFrame:
+    """Keep candidates with estimated Jaccard >= threshold
+    (reference dedup.py:384-390)."""
+    return (
+        score_candidates(pairs, sigs, cfg)
+        .filter(F.col("score") >= cfg.jaccard_threshold)
+        .select("url1", "url2", "score", F.lit(method).alias("method"))
+    )
+
+
+def minhash_pass(
+    df: DataFrame, cfg: DedupConfig, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Full MinHash/LSH pass: signatures -> bands -> candidates ->
+    verified (url1, url2, score, method='minhash')."""
+    sigs = minhash_signatures(df, cfg, id_col, text_col)
+    pairs = candidate_pairs_from_bands(band_rows(sigs, cfg), cfg)
+    return verify_jaccard(pairs, sigs, cfg)

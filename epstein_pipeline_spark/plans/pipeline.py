@@ -1,0 +1,164 @@
+"""The end-to-end dedup pipeline (the reference's
+``epstein-pipeline dedup --mode all --clusters`` flagship,
+cli.py:556-636, restated per SURVEY.md §3.1).
+
+Stages (each a committed checkpoint, resumable):
+
+    extract    pages(html) -> text (JVM regex chain), normalize, hash
+    exact      hash-group star pairs
+    minhash    signatures -> LSH band join -> Jaccard verify
+    simhash    64-bit signatures -> Hamming band join -> verify
+    pairs      union, first-pass-wins, optional LCS verification
+    labels     connected components (large-star/small-star)
+    clusters   representative + avg similarity + method
+
+`run_dedup(resume=True)` skips any stage with a committed snapshot —
+the kill/rerun contract (reference state.py:86-111 semantics).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.config import DEFAULT_CONFIG, DedupConfig
+from epstein_pipeline_spark.functions.text import (
+    clean_ocr_noise_expr,
+    content_hash_expr,
+    extract_text_expr,
+    normalize_text_expr,
+)
+from epstein_pipeline_spark.operators.cc import connected_components
+from epstein_pipeline_spark.operators.clusters import build_clusters
+from epstein_pipeline_spark.operators.exact import exact_pairs
+from epstein_pipeline_spark.operators.lcs import lcs_rescue
+from epstein_pipeline_spark.operators.lsh import (
+    band_rows,
+    candidate_pairs_from_bands,
+    minhash_signatures,
+    score_candidates,
+)
+from epstein_pipeline_spark.operators.pairs import canonicalize_pairs, union_first_wins
+from epstein_pipeline_spark.operators.simhash_pass import simhash_pass
+from epstein_pipeline_spark.operators.verify import exact_jaccard_pairs
+from epstein_pipeline_spark.plans.checkpoint import StageStore
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    labels: DataFrame
+    pairs: DataFrame
+    stage_seconds: dict = field(default_factory=dict)
+    docs_in: int = 0
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """html binary -> extracted_text (pure JVM), plus normalized text
+    and content hash. The extracted text is the byte-identical-per-url
+    invariant checked against ``py_extract_text`` in tests."""
+    return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        extract_text_expr("html").alias("extracted_text"),
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "extracted_text",
+        normalize_text_expr(clean_ocr_noise_expr("extracted_text")).alias("text"),
+    ).withColumn("content_hash", content_hash_expr("text"))
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: StageStore,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    use_extracted: bool = True,
+    lcs_check: bool = True,
+) -> PipelineResult:
+    timings: dict[str, float] = {}
+
+    def staged(name: str, build, counters: dict | None = None) -> DataFrame:
+        if resume and store.has(name):
+            timings[name] = 0.0
+            return store.read(spark, name)
+        t0 = time.time()
+        df = build()
+        store.commit(name, df, counters)
+        timings[name] = time.time() - t0
+        return store.read(spark, name)
+
+    # 1. extract (skips rows already extracted when resuming a partial run)
+    if use_extracted:
+        docs = staged("extract", lambda: extract_stage(pages))
+    else:
+        docs = pages.select(
+            "url", "warc_ts", "lang",
+            F.col("text").alias("extracted_text"),
+            normalize_text_expr("text").alias("text"),
+        ).withColumn("content_hash", content_hash_expr("text"))
+
+    n_docs = docs.count()
+
+    # 2. exact pass (hash-group star pairs)
+    p_exact = staged("pairs_exact", lambda: exact_pairs(docs), {"docs_in": n_docs})
+
+    # 3. MinHash/LSH: band-join candidates, pre-filtered by the cheap
+    # signature estimate (wide margin), then EXACT shingle-Jaccard
+    # verified; split into accepted (>= threshold) and the gray zone
+    # that the LCS stage re-examines (boilerplate-wrapped dups)
+    def build_minhash_scored() -> DataFrame:
+        sigs = minhash_signatures(docs, cfg)
+        cands = candidate_pairs_from_bands(band_rows(sigs, cfg), cfg)
+        est = score_candidates(cands, sigs, cfg).filter(
+            F.col("score") >= cfg.lcs_gray_low - 0.10  # estimator margin
+        )
+        return exact_jaccard_pairs(est, docs, cfg)
+
+    mh_scored = staged("minhash_scored", build_minhash_scored, {"docs_in": n_docs})
+    p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(
+        "method", F.lit("minhash")
+    )
+
+    # 4. SimHash Hamming-ball pass
+    p_simhash = staged("pairs_simhash", lambda: simhash_pass(docs, cfg), {"docs_in": n_docs})
+
+    # 5. LCS verification (north_rule stage 3): substring-level check of
+    # the gray-zone candidates that hashing alone couldn't resolve
+    def build_lcs() -> DataFrame:
+        gray = mh_scored.filter(F.col("score") < cfg.jaccard_threshold)
+        return lcs_rescue(gray, docs, cfg)
+
+    p_lcs = staged("pairs_lcs", build_lcs) if lcs_check else None
+
+    # 6. union, first-pass-wins (exact > minhash > simhash > lcs)
+    def build_pairs() -> DataFrame:
+        parts = [canonicalize_pairs(p) for p in (p_exact, p_minhash, p_simhash) if p is not None]
+        if p_lcs is not None:
+            parts.append(canonicalize_pairs(p_lcs))
+        return union_first_wins(*parts)
+
+    pairs = staged("pairs", build_pairs)
+
+    # 6. connected components
+    labels = staged(
+        "labels",
+        lambda: connected_components(
+            pairs, nodes=docs.select("url"),
+            max_iters=cfg.cc_max_iters, checkpoint_every=cfg.cc_checkpoint_every,
+        ),
+    )
+
+    # 7. clusters
+    clusters = staged("clusters", lambda: build_clusters(labels, pairs, docs))
+
+    return PipelineResult(
+        clusters=clusters, labels=labels, pairs=pairs, stage_seconds=timings, docs_in=n_docs
+    )
