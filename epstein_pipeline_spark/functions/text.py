@@ -97,8 +97,8 @@ def clean_ocr_noise_expr(col: Column | str) -> Column:
 # HTML -> text extraction (the "OCR" stage of our pages table)
 # ---------------------------------------------------------------------------
 
-_PY_SCRIPT = re.compile(r"(?is)<(script|style|nav|header|footer)[^>]*>.*?</\1>")
-_PY_BLOCK_CLOSE = re.compile(r"(?i)</(p|div|h[1-6]|li|tr|title)>")
+_PY_SCRIPT = re.compile(r"(?is)<(script|style|nav|header|footer|title)[^>]*>.*?</\1>")
+_PY_BLOCK_CLOSE = re.compile(r"(?i)</(p|div|h[1-6]|li|tr)>")
 _PY_TAG = re.compile(r"(?s)<[^>]+>")
 
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
@@ -134,8 +134,8 @@ def extract_text_expr(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     t = F.decode(c, "UTF-8")
-    t = F.regexp_replace(t, r"(?is)<(script|style|nav|header|footer)[^>]*>.*?</\1>", "")
-    t = F.regexp_replace(t, r"(?i)</(p|div|h[1-6]|li|tr|title)>", "\n")
+    t = F.regexp_replace(t, r"(?is)<(script|style|nav|header|footer|title)[^>]*>.*?</\1>", "")
+    t = F.regexp_replace(t, r"(?i)</(p|div|h[1-6]|li|tr)>", "\n")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
     for ent, ch in _ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))

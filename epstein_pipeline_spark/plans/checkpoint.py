@@ -63,8 +63,15 @@ class StageStore:
     def commit(self, stage: str, df: DataFrame, counters: dict | None = None) -> dict:
         """Write df as the next snapshot of `stage`, atomically commit,
         record per-partition lineage."""
-        prev = self.latest(stage)
-        snap_id = (prev["snapshot"] + 1) if prev else 0
+        # never reuse a snapshot id, even after invalidate(): old readers
+        # may still hold DataFrames over earlier snapshot files
+        # (Iceberg's snapshots-are-immutable contract)
+        existing = [
+            int(p.name.split("-", 1)[1])
+            for p in self._stage_dir(stage).glob("snapshot-*")
+            if p.name.split("-", 1)[1].isdigit()
+        ]
+        snap_id = (max(existing) + 1) if existing else 0
         out_dir = self._stage_dir(stage) / f"snapshot-{snap_id}"
         df.write.mode("overwrite").parquet(str(out_dir))
 

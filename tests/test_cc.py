@@ -1,0 +1,54 @@
+"""Connected components: distributed large-star/small-star labels must
+match the reference-semantics union-find oracle exactly
+(reference processors/dedup.py:183-206)."""
+
+import numpy as np
+import pytest
+
+from epstein_pipeline_spark.operators.cc import connected_components, py_union_find
+
+
+def _check(spark, edges: list[tuple[str, str]], nodes: list[str] | None = None):
+    pairs = spark.createDataFrame(edges, "url1 string, url2 string")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "url string") if nodes else None
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes=nodes_df).collect()
+    }
+    want = py_union_find(edges)
+    if nodes:
+        for n in nodes:
+            want.setdefault(n, n)
+    assert got == want
+
+
+def test_simple_chain(spark):
+    _check(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+
+
+def test_two_components_and_singletons(spark):
+    _check(spark, [("a", "b"), ("x", "y")], nodes=["a", "b", "x", "y", "lonely"])
+
+
+def test_star_and_cycle(spark):
+    _check(spark, [("hub", "s1"), ("hub", "s2"), ("hub", "s3"), ("c1", "c2"), ("c2", "c3"), ("c3", "c1")])
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n = 60
+        nodes = [f"n{i:03d}" for i in range(n)]
+        m = rng.randint(20, 80)
+        edges = [
+            (nodes[rng.randint(0, n)], nodes[rng.randint(0, n)]) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges, nodes=nodes)
+
+
+def test_long_path_converges(spark):
+    # worst case for naive propagation: a 40-node path needs O(log n)
+    # star rounds, not O(n)
+    edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(40)]
+    _check(spark, edges)
