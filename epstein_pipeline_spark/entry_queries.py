@@ -1,0 +1,780 @@
+"""Query catalog for the driver contract (__spark_entry__).
+
+Each entry pairs an idiomatic-Spark DataFrame query with an ANSI-SQL
+DuckDB oracle over the same parquet tables. Cross-engine determinism
+rules used throughout:
+
+- money/value sums go through decimal casts then back to double
+  (exact in both engines, immune to float summation order),
+- normalization is the reference normalize_text
+  (utils/hashing.py:12-14) expressed with the same regexes,
+- every computed column is aliased identically on both sides,
+- ranking queries break ties on a unique key.
+
+Queries cover SURVEY.md §2: scans, scalar text functions (P1-P17),
+hash-group dedup (J1/A1), fuzzy join (J3), similarity join (J5/P15),
+timeline search (J9), aggregations (A1-A12), windows (W1-W4), top-k
+(O1-O6), set ops (U1-U4), and connected components (J8) with a
+recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared snippets
+# ---------------------------------------------------------------------------
+
+# reference normalize_text as SQL, Spark dialect / DuckDB dialect
+_NORM_DUCK = (
+    "regexp_replace(regexp_replace(lower({c}), '\\s+', ' ', 'g'), '^ | $', '', 'g')"
+)
+
+_EN = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"]
+_DE = ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"]
+_FR = ["le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"]
+
+
+def _norm(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(F.lower(c), r"(?U)\s+", " "), r"^ | $", "")
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_arr(words: list[str]):
+    return F.array(*[F.lit(w) for w in words])
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-independent sum: decimal accumulate, emit double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text / dedup queries over documents
+# ---------------------------------------------------------------------------
+
+def q_norm_hash(spark, sf):
+    """P1/P2: normalize + content hash (cross-engine parity of the
+    exact-dedup key)."""
+    return _docs(spark, sf).select(
+        "doc_id",
+        _norm("text").alias("norm_text"),
+        F.sha2(_norm("text"), 256).alias("content_hash"),
+    )
+
+
+O_NORM_HASH = f"""
+SELECT doc_id,
+       {_NORM_DUCK.format(c='text')} AS norm_text,
+       sha256({_NORM_DUCK.format(c='text')}) AS content_hash
+FROM documents
+"""
+
+
+def q_exact_dup_pairs(spark, sf):
+    """J1/A1: hash-group self-join pair expansion."""
+    h = _docs(spark, sf).select("doc_id", F.sha2(_norm("text"), 256).alias("content_hash"))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, "content_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+
+O_EXACT_DUP_PAIRS = f"""
+WITH h AS (SELECT doc_id, sha256({_NORM_DUCK.format(c='text')}) AS content_hash FROM documents)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, 1.0 AS score
+FROM h a JOIN h b USING (content_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_stats_by_source(spark, sf):
+    """A6: the reference `stats` command (cli.py:820-846)."""
+    return (
+        _docs(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+O_STATS_BY_SOURCE = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars, count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+def q_token_stats(spark, sf):
+    """P5-ish: token/char counts per doc."""
+    d = _docs(spark, sf).withColumn("norm", _norm("text"))
+    return d.select(
+        "doc_id",
+        (F.length("norm") - F.length(F.replace(F.col("norm"), F.lit(" "), F.lit(""))) + 1).alias("n_tokens"),
+        F.length("norm").alias("n_chars_norm"),
+    )
+
+
+O_TOKEN_STATS = f"""
+WITH d AS (SELECT doc_id, {_NORM_DUCK.format(c='text')} AS norm FROM documents)
+SELECT doc_id,
+       length(norm) - length(replace(norm, ' ', '')) + 1 AS n_tokens,
+       length(norm) AS n_chars_norm
+FROM d
+"""
+
+
+def q_lang_id(spark, sf):
+    """Language-ID heuristic: distinct-stopword hit ratios + argmax."""
+    d = _docs(spark, sf).withColumn("toks", F.array_distinct(F.split(_norm("text"), " ")))
+    en = F.size(F.array_intersect(F.col("toks"), _spark_arr(_EN))) / 10.0
+    de = F.size(F.array_intersect(F.col("toks"), _spark_arr(_DE))) / 10.0
+    fr = F.size(F.array_intersect(F.col("toks"), _spark_arr(_FR))) / 10.0
+    guess = (
+        F.when((en == 0) & (de == 0) & (fr == 0), "und")
+        .when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.round(en, 4).alias("en_score"),
+        F.round(de, 4).alias("de_score"),
+        F.round(fr, 4).alias("fr_score"),
+        guess.alias("lang_guess"),
+    )
+
+
+O_LANG_ID = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split({_NORM_DUCK.format(c='text')}, ' ')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_intersect(toks, {_duck_list(_EN)})) / 10.0 AS en,
+         len(list_intersect(toks, {_duck_list(_DE)})) / 10.0 AS de,
+         len(list_intersect(toks, {_duck_list(_FR)})) / 10.0 AS fr
+  FROM d
+)
+SELECT doc_id, round(en, 4) AS en_score, round(de, 4) AS de_score,
+       round(fr, 4) AS fr_score,
+       CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+            WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess
+FROM s
+"""
+
+
+def q_quality_scores(spark, sf):
+    """P10: heuristic quality blend (reference ocr.py:80-118 shape):
+    0.40*printable + 0.30*word-length + 0.30*stopword."""
+    d = _docs(spark, sf).withColumn("norm", _norm("text"))
+    n = F.greatest(F.length("text"), F.lit(1))
+    printable = (n - F.length(F.regexp_replace(F.col("text"), r"[\x20-\x7e\s]", ""))).cast(
+        "double"
+    ) / n
+    printable = 1.0 - printable  # fraction printable
+    n_tok = F.length("norm") - F.length(F.replace(F.col("norm"), F.lit(" "), F.lit(""))) + 1
+    avg_word = (F.length("norm") - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1))
+    word_score = F.greatest(F.lit(0.0), 1.0 - F.abs(avg_word - 5.5) / 5.5)
+    toks = F.array_distinct(F.split(F.col("norm"), " "))
+    stop = F.least(F.lit(1.0), F.size(F.array_intersect(toks, _spark_arr(_EN))) / 10.0 * 2)
+    return d.select(
+        "doc_id",
+        F.round(printable * 0.40 + word_score * 0.30 + stop * 0.30, 4).alias("quality"),
+    )
+
+
+O_QUALITY_SCORES = f"""
+WITH d AS (SELECT doc_id, text, {_NORM_DUCK.format(c='text')} AS norm FROM documents),
+c AS (
+  SELECT doc_id, text, norm,
+         greatest(length(text), 1) AS n,
+         length(norm) - length(replace(norm, ' ', '')) + 1 AS n_tok,
+         list_distinct(string_split(norm, ' ')) AS toks
+  FROM d
+)
+SELECT doc_id,
+       round(
+         (1.0 - CAST(n - length(regexp_replace(text, '[\\x20-\\x7e\\s]', '', 'g')) AS DOUBLE) / n) * 0.40
+         + greatest(0.0, 1.0 - abs(CAST(length(norm) - n_tok + 1 AS DOUBLE) / greatest(n_tok, 1) - 5.5) / 5.5) * 0.30
+         + least(1.0, len(list_intersect(toks, {_duck_list(_EN)})) / 10.0 * 2) * 0.30,
+       4) AS quality
+FROM c
+"""
+
+
+def q_fingerprints(spark, sf):
+    """Document fingerprint: min-md5 over word-3-gram shingles (a
+    1-perm MinHash, md5 available in both engines)."""
+    d = _docs(spark, sf).withColumn("toks", F.split(_norm("text"), " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(2), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, 3))),
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+O_FINGERPRINTS = f"""
+WITH d AS (SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_aggregate(
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> md5(array_to_string(toks[i:i+2], ' '))),
+         'min') AS fingerprint
+FROM d
+"""
+
+
+def q_word_jaccard_pairs(spark, sf):
+    """N-gram/word-set Jaccard near-dup join, blocked by source
+    (J3-style blocking; the SQL-expressible small-scale twin of the
+    MinHash pass)."""
+    d = _docs(spark, sf).select(
+        "doc_id", "source", F.array_distinct(F.split(_norm("text"), " ")).alias("toks")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double") / F.size(
+        F.array_union(F.col("a.toks"), F.col("b.toks"))
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            "jaccard",
+        )
+    )
+
+
+O_WORD_JACCARD_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(string_split({_NORM_DUCK.format(c='text')}, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM d a JOIN d b USING (source)
+WHERE a.doc_id < b.doc_id
+  AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.6
+"""
+
+
+def q_cc_chain(spark, sf):
+    """J8: connected components over a deterministic edge set
+    (consecutive doc_ids sharing a source), distributed
+    large-star/small-star vs a recursive-CTE oracle."""
+    from epstein_pipeline_spark.operators.cc import connected_components
+
+    d = _docs(spark, sf).select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("node"), "source"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(b, "source")
+        .filter(F.col("b.node") == F.lpad((F.col("a.node").cast("bigint") + 1).cast("string"), 8, "0"))
+        .select(F.col("a.node").alias("url1"), F.col("b.node").alias("url2"))
+    )
+    labels = connected_components(edges, nodes=d.select("node"))
+    return labels.select(F.col("url").alias("doc"), F.col("cluster_id").alias("component"))
+
+
+O_CC_CHAIN = """
+WITH RECURSIVE d AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node, source, doc_id FROM documents
+), edges AS (
+  SELECT a.node AS src, b.node AS dst
+  FROM d a JOIN d b ON a.source = b.source AND b.doc_id = a.doc_id + 1
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, comp) AS (
+  SELECT node, node FROM d
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc, min(comp) AS component FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan-filter-agg with 8 aggregates."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    charge = disc * (F.lit(1).cast("decimal(18,2)") + F.col("l_tax").cast("decimal(18,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf):
+    """Q3 shape: 3-way join (broadcast dim), agg, global top-k."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+O_Q3 = """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf):
+    """Q5 shape: 5-way join through broadcast dims, agg by nation."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+O_Q5 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_parts_per_brand(spark, sf):
+    """W1/W3: ranking window, top-3 per group."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        _t(spark, sf, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+O_TOP_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+def q_customer_fuzzy_pairs(spark, sf):
+    """J3: blocked fuzzy join — levenshtein <= 2 within nation blocks
+    (reference fuzz.ratio title dedup, dedup.py:296-324)."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .withColumn("lev", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
+        .filter(F.col("lev") <= 2)
+        .select(
+            F.col("a.c_custkey").alias("custkey1"),
+            F.col("b.c_custkey").alias("custkey2"),
+            "lev",
+        )
+    )
+
+
+O_CUSTOMER_FUZZY = """
+SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2,
+       levenshtein(a.c_name, b.c_name) AS lev
+FROM customer a JOIN customer b USING (c_nationkey)
+WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def q_orders_anti_join(spark, sf):
+    """J10/U4: anti-join — customers with no orders (resume-skip
+    semantics, state.py:86-111)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+O_ORDERS_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (timeline / sessionization / rollups)
+# ---------------------------------------------------------------------------
+
+def q_timeline_search(spark, sf):
+    """J9: timeline search — range + type filter, multi-key order,
+    limit (reference neon_schema.py:425-466)."""
+    return (
+        _t(spark, sf, "events")
+        .filter(
+            (F.col("ts") >= "2024-01-05")
+            & (F.col("ts") < "2024-01-20")
+            & F.col("event_type").isin("click", "error")
+        )
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+O_TIMELINE = """
+SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type IN ('click', 'error')
+ORDER BY ts, event_id
+LIMIT 100
+"""
+
+
+def q_event_rollup(spark, sf):
+    """A5/A6: keyed aggregation with decimal-stable sums."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+O_EVENT_ROLLUP = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users, max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_user_sessions(spark, sf):
+    """Sessionization: lag + gap>30min cumulative flags (the Spark
+    window idiom for session assignment)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events")
+    # parquet ts is TIMESTAMP_NTZ; go via timestamp (session tz pinned
+    # to UTC) to epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+O_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_running_value(spark, sf):
+    """W-frame: running decimal-stable sum per user ordered by time."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn(
+            "running_value",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .select("event_id", "user_id", "running_value")
+    )
+
+
+O_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings (similarity search)
+# ---------------------------------------------------------------------------
+
+def _cos(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def q_semantic_topk(spark, sf):
+    """O3/P15: cosine top-k against the vec_id=0 query vector
+    (reference semantic_search, neon_schema.py:301-326)."""
+    e = _t(spark, sf, "embeddings").withColumn("v", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cos(F.col("v"), F.col("qv")), 6).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+O_SEMANTIC_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+FROM e, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_cosine_pairs(spark, sf):
+    """J5: similarity self-join — all pairs with cosine >= 0.4 (the
+    driver corpus has no >=0.95 structure; threshold adjusted to be
+    non-empty while keeping identical semantics)."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("score", F.round(_cos(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("score") >= 0.4)
+        .select(F.col("a.vec_id").alias("vec_id1"), F.col("b.vec_id").alias("vec_id2"), "score")
+    )
+
+
+O_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: pandas-UDF signatures,
+# LSH banding, iterative pipeline) — driver records row counts
+# ---------------------------------------------------------------------------
+
+def _planted_corpus(spark, sf) -> DataFrame:
+    """documents ∪ deterministic near-dup variants: every doc gets a
+    whitespace/case variant (id+100000) and a 1-char-splice variant
+    (id+200000)."""
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    ws = _docs(spark, sf).select(
+        (F.col("doc_id") + 100000).cast("string").alias("url"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("\n")).alias("text"),
+    )
+    splice = _docs(spark, sf).filter(F.length("text") > 120).select(
+        (F.col("doc_id") + 200000).cast("string").alias("url"),
+        F.concat(
+            F.substring("text", 1, 60), F.lit("q"), F.expr("substring(text, 62)")
+        ).alias("text"),
+    )
+    return d.unionByName(ws).unionByName(splice)
+
+
+def q_minhash_dedup_planted(spark, sf):
+    """F1/J4: full MinHash/LSH pass over documents + planted variants."""
+    from epstein_pipeline_spark.config import DedupConfig
+    from epstein_pipeline_spark.operators.lsh import minhash_pass
+
+    return minhash_pass(_planted_corpus(spark, sf), DedupConfig()).select(
+        "url1", "url2", F.round("score", 4).alias("score"), "method"
+    )
+
+
+def q_simhash_dedup_planted(spark, sf):
+    """SimHash Hamming-ball pass over documents + planted variants."""
+    from epstein_pipeline_spark.config import DedupConfig
+    from epstein_pipeline_spark.operators.simhash_pass import simhash_pass
+
+    return simhash_pass(_planted_corpus(spark, sf), DedupConfig()).select(
+        "url1", "url2", F.round("score", 4).alias("score"), "method"
+    )
+
+
+def q_dedup_clusters_planted(spark, sf):
+    """Flagship end-to-end: exact + minhash + CC + cluster build over
+    documents + planted variants (the reference `dedup --clusters`
+    output shape, neon_schema.py:146-157)."""
+    from epstein_pipeline_spark.config import DedupConfig
+    from epstein_pipeline_spark.operators.cc import connected_components
+    from epstein_pipeline_spark.operators.clusters import build_clusters
+    from epstein_pipeline_spark.operators.exact import exact_pairs
+    from epstein_pipeline_spark.operators.lsh import minhash_pass
+    from epstein_pipeline_spark.operators.pairs import canonicalize_pairs, union_first_wins
+
+    cfg = DedupConfig()
+    corpus = _planted_corpus(spark, sf)
+    pairs = union_first_wins(
+        canonicalize_pairs(exact_pairs(corpus)),
+        canonicalize_pairs(minhash_pass(corpus, cfg)),
+    )
+    labels = connected_components(pairs, nodes=corpus.select("url"))
+    return build_clusters(labels, pairs, corpus)
+
+
+QUERIES = {
+    "norm_hash": q_norm_hash,
+    "exact_dup_pairs": q_exact_dup_pairs,
+    "stats_by_source": q_stats_by_source,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "cc_chain": q_cc_chain,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "customer_fuzzy_pairs": q_customer_fuzzy_pairs,
+    "orders_anti_join": q_orders_anti_join,
+    "timeline_search": q_timeline_search,
+    "event_rollup": q_event_rollup,
+    "user_sessions": q_user_sessions,
+    "running_value": q_running_value,
+    "semantic_topk": q_semantic_topk,
+    "cosine_pairs": q_cosine_pairs,
+    "minhash_dedup_planted": q_minhash_dedup_planted,
+    "simhash_dedup_planted": q_simhash_dedup_planted,
+    "dedup_clusters_planted": q_dedup_clusters_planted,
+}
+
+ORACLES = {
+    "norm_hash": O_NORM_HASH,
+    "exact_dup_pairs": O_EXACT_DUP_PAIRS,
+    "stats_by_source": O_STATS_BY_SOURCE,
+    "token_stats": O_TOKEN_STATS,
+    "lang_id": O_LANG_ID,
+    "quality_scores": O_QUALITY_SCORES,
+    "fingerprints": O_FINGERPRINTS,
+    "word_jaccard_pairs": O_WORD_JACCARD_PAIRS,
+    "cc_chain": O_CC_CHAIN,
+    "q1_pricing_summary": O_Q1,
+    "q3_top_orders": O_Q3,
+    "q5_nation_revenue": O_Q5,
+    "top_parts_per_brand": O_TOP_PARTS,
+    "customer_fuzzy_pairs": O_CUSTOMER_FUZZY,
+    "orders_anti_join": O_ORDERS_ANTI,
+    "timeline_search": O_TIMELINE,
+    "event_rollup": O_EVENT_ROLLUP,
+    "user_sessions": O_USER_SESSIONS,
+    "running_value": O_RUNNING_VALUE,
+    "semantic_topk": O_SEMANTIC_TOPK,
+    "cosine_pairs": O_COSINE_PAIRS,
+    # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
+    # an iterative CC loop — not SQL-expressible; rows-only checks
+}
