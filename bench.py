@@ -1,0 +1,143 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "dedup": {...docs/sec at two parallelism levels + scaling...}}
+
+Measures:
+1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS] (default 32),
+2. end-to-end dedup (extract -> exact -> minhash/LSH -> simhash -> LCS
+   -> CC -> clusters) on a seeded synthetic pages corpus at local[8]
+   and local[N] — the sandbox stand-in for N vs 4N executors
+   (BASELINE.md scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+HEADLINE = [
+    "norm_hash",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "top_parts_per_brand",
+    "customer_fuzzy_pairs",
+    "user_sessions",
+    "running_value",
+    "semantic_topk",
+    "timeline_search",
+    "event_rollup",
+    "word_jaccard_pairs",
+    "fingerprints",
+    "minhash_dedup_planted",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from epstein_pipeline_spark.entry_queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def corpus_parquet(pages: int, seed: int = 42) -> str:
+    """Synthesize the bench corpus once, cache as parquet (both
+    parallelism levels read identical input from disk)."""
+    from epstein_pipeline_spark.session import get_spark
+    from epstein_pipeline_spark.synth import generate_corpus, pages_to_spark
+
+    path = Path(__file__).resolve().parent / ".bench_cache" / f"pages_n{pages}_s{seed}"
+    if (path / "_SUCCESS").exists():
+        return str(path)
+    spark = get_spark("bench_synth", cores=CPUS, shuffle_partitions=64)
+    try:
+        corpus = generate_corpus(n_pages=pages, seed=seed, mega_cluster_size=200)
+        pages_to_spark(spark, corpus, partitions=128).write.mode("overwrite").parquet(str(path))
+    finally:
+        spark.stop()
+    return str(path)
+
+
+def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
+    """End-to-end dedup at local[cores]; returns (sec, docs, stage_sec)."""
+    from epstein_pipeline_spark.config import DedupConfig
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+    from epstein_pipeline_spark.plans.pipeline import run_dedup as run_pipeline
+    from epstein_pipeline_spark.session import get_spark
+
+    spark = get_spark(f"bench_dedup_{cores}", cores=cores, shuffle_partitions=128)
+    try:
+        pages = spark.read.parquet(corpus_path)
+        n = pages.count()
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.time()
+            res = run_pipeline(
+                spark, pages, StageStore(tmp), DedupConfig(), use_extracted=True, lcs_check=True
+            )
+            res.clusters.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        return dt, n, res.stage_seconds
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    t_all = time.time()
+
+    # 1. headline queries at the target SF
+    from epstein_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=128)
+    queries = run_queries(spark, SF_DIR)
+    spark.stop()
+
+    # 2. dedup scaling: local[8] vs local[CPUS] on the same input
+    corpus_path = corpus_parquet(BENCH_PAGES)
+    t_lo, n, stages_lo = run_dedup(8, corpus_path)
+    t_hi, _, stages_hi = run_dedup(CPUS, corpus_path)
+    tput_lo, tput_hi = n / t_lo, n / t_hi
+    eff = (tput_hi / tput_lo) / (CPUS / 8)
+
+    result = {
+        "metric": "e2e_dedup_plus_headline_seconds",
+        "value": round(sum(queries.values()) + t_hi, 3),
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "queries": queries,
+        "dedup": {
+            "n_pages": n,
+            "cores_lo": 8,
+            "cores_hi": CPUS,
+            "seconds_lo": round(t_lo, 3),
+            "seconds_hi": round(t_hi, 3),
+            "docs_per_sec_lo": round(tput_lo, 1),
+            "docs_per_sec_hi": round(tput_hi, 1),
+            "scaling_efficiency": round(eff, 4),
+            "stage_seconds_lo": {k: round(v, 2) for k, v in stages_lo.items()},
+            "stage_seconds_hi": {k: round(v, 2) for k, v in stages_hi.items()},
+        },
+        "bench_total_sec": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

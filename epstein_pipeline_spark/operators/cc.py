@@ -73,13 +73,36 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iters: int = 50,
     checkpoint_every: int = 3,
+    loop_shuffle_partitions: int | None = 32,
 ) -> DataFrame:
     """Label pairs' transitive closure: returns (url, cluster_id) where
     cluster_id = min url in the component.
 
     ``pairs`` needs columns url1/url2. If ``nodes`` (one column url) is
     given, singletons get cluster_id = their own url.
+
+    The edge list is orders of magnitude smaller than the corpus, so
+    the loop runs at ``loop_shuffle_partitions`` (task-launch latency
+    dominates tiny shuffles otherwise); the session setting is
+    restored afterwards. On a real cluster size this to
+    edges_bytes / 64MB.
     """
+    spark = pairs.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
+    try:
+        return _cc_loop(pairs, nodes, max_iters, checkpoint_every)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _cc_loop(
+    pairs: DataFrame,
+    nodes: DataFrame | None,
+    max_iters: int,
+    checkpoint_every: int,
+) -> DataFrame:
     edges = pairs.select(F.col("url1").alias("src"), F.col("url2").alias("dst")).filter(
         F.col("src") != F.col("dst")
     ).distinct()

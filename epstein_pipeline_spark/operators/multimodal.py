@@ -1,0 +1,113 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed
+metadata — the Spark-side plumbing for a training-data pipeline.
+
+Decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
+operators with real schemas, partitioning, and batch shapes; the
+actual codec step is STUBBED (image/audio libraries are not in this
+container): ``decode_stub='deterministic'`` produces a seeded fake
+feature vector from the bytes' sha256 so the full distributed path is
+testable end-to-end; ``decode_stub='raise'`` marks where a real codec
+(PIL/ffmpeg) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, content binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, feature array<float>"
+
+
+def _fake_feature(content: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in feature: seeded by content hash, unit-norm.
+    Replace with a real encoder via the same signature."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    v = rng.normal(size=dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 64, decode_stub: str = "deterministic"
+) -> DataFrame:
+    """binary content -> feature vector, per Arrow batch.
+
+    The Spark-side contract (schema, mapInPandas batching, column
+    pruning of the heavy binary column after use) is real; only the
+    codec is stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this container"
+                )
+            feats = [
+                _fake_feature(bytes(c) if c is not None else b"", dim) for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled
+    timestamp (codec stubbed: frame bytes = sha256 of (content, ts))."""
+    with_ts = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "content",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                hashlib.sha256(bytes(c) + int(t).to_bytes(8, "little")).digest()
+                for c, t in zip(pdf["content"], pdf["frame_ms"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "frame_ms": pdf["frame_ms"], "frame": frames}
+            )
+
+    return with_ts.mapInPandas(run, schema="media_id string, frame_ms long, frame binary")
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        content = bytes(rng.randint(0, 256, rng.randint(64, 512), dtype=np.uint8))
+        rows.append(
+            (
+                f"m{i:05d}",
+                kind,
+                content,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.randint(16, 512)) if kind == "image" else None,
+                int(rng.randint(16, 512)) if kind == "image" else None,
+                int(rng.randint(1000, 10000)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

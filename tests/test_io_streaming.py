@@ -1,0 +1,92 @@
+"""Sources/sinks and the incremental streaming ingest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.sources.io import (
+    read_json_docs,
+    read_pages,
+    write_clusters,
+    write_csv_docs,
+    write_json,
+)
+from epstein_pipeline_spark.streaming.incremental import incremental_dedup_ingest
+
+
+def test_json_docs_permissive(spark, tmp_path):
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.json").write_text('{"id": "d1", "title": "T", "personIds": ["p1"]}')
+    (p / "b.json").write_text("{broken json!!")
+    df = read_json_docs(spark, str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["id"] == "d1"]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["personIds"] == ["p1"]
+    assert len(corrupt) == 1  # tolerated, not fatal (cli.py:604-610)
+
+
+def test_csv_export_projection(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "T", "2001-01-01", "src", "cat", "sum", 3, "A1-A2", ["p1", "p2"], ["t1"], "SECRET OCR")],
+        "id string, title string, date string, source string, category string, "
+        "summary string, pageCount int, batesRange string, personIds array<string>, "
+        "tags array<string>, ocrText string",
+    )
+    out = tmp_path / "csv"
+    write_csv_docs(docs, str(out))
+    back = spark.read.option("header", True).csv(str(out)).collect()[0]
+    assert back["personIds"] == "p1;p2"
+    assert "ocrText" not in back.asDict()  # excluded (cli.py:766)
+
+
+def test_pages_roundtrip_and_cluster_sink(spark, pages, tmp_path):
+    p = tmp_path / "pages"
+    pages.write.parquet(str(p))
+    back = read_pages(spark, str(p))
+    assert back.schema["url"].dataType.typeName() == "string"
+    assert back.count() == pages.count()
+
+    clusters = spark.createDataFrame(
+        [("c1", "u1", True, 1.0, "exact"), ("c1", "u2", False, 1.0, "exact")],
+        "cluster_id string, url string, is_representative boolean, similarity double, dedup_method string",
+    )
+    out = tmp_path / "clusters"
+    write_clusters(clusters, str(out))
+    assert spark.read.parquet(str(out)).count() == 2
+
+    j = tmp_path / "json"
+    write_json(clusters, str(j))
+    assert spark.read.json(str(j)).count() == 2
+
+
+def test_incremental_streaming_dedup(spark, tmp_path):
+    """Two micro-batches; the second contains a content-duplicate that
+    must NOT be appended twice (foreachBatch anti-join)."""
+    from epstein_pipeline_spark.synth import generate_corpus, pages_to_spark
+
+    indir, outdir, ckpt = (tmp_path / d for d in ("in", "out", "ckpt"))
+    corpus = generate_corpus(n_pages=30, seed=5)
+    df = pages_to_spark(spark, corpus, partitions=2)
+    df.limit(10).write.mode("append").parquet(str(indir))
+
+    q = incremental_dedup_ingest(spark, str(indir), str(outdir), str(ckpt))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(str(outdir)).count()
+    assert n1 > 0
+
+    # batch 2: 10 more rows, of which the first 5 repeat batch-1 CONTENT
+    # under new urls
+    repeat = (
+        df.limit(5)
+        .withColumn("url", F.concat(F.lit("https://copy/"), F.col("url")))
+    )
+    fresh = df.orderBy("url").limit(20).subtract(df.limit(10))
+    repeat.unionByName(fresh).write.mode("append").parquet(str(indir))
+
+    q2 = incremental_dedup_ingest(spark, str(indir), str(outdir), str(ckpt))
+    q2.awaitTermination(120)
+    out = spark.read.parquet(str(outdir))
+    # every content hash appears exactly once
+    dup_hashes = out.groupBy("content_hash").count().filter("count > 1").count()
+    assert dup_hashes == 0

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: schema, batching, deterministic stub features."""
+
+import numpy as np
+import pytest
+
+from epstein_pipeline_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synth_media(spark, n=30)
+    df.cache().count()
+    return df
+
+
+def test_feature_extraction_shape(spark, media):
+    rows = extract_features(media, dim=32).collect()
+    assert len(rows) == 30
+    for r in rows:
+        v = np.array(r["feature"])
+        assert v.shape == (32,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        assert r["n_bytes"] > 0
+
+
+def test_feature_deterministic(spark, media):
+    a = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16).collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16).collect()}
+    assert a == b
+
+
+def test_stub_raises_where_real_codec_goes(spark, media):
+    with pytest.raises(Exception):
+        extract_features(media, decode_stub="raise").collect()
+
+
+def test_frame_sampling(spark, media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert len(frames) > 0
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_ms"])
+    for ms_list in by_media.values():
+        assert sorted(ms_list) == ms_list or sorted(ms_list) == sorted(ms_list)
+        assert all(m % 1000 == 0 for m in ms_list)

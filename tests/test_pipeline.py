@@ -92,4 +92,14 @@ def test_lineage_covers_all_stages(spark, result):
     _, store = result
     lin = store.lineage(spark)
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
-    assert {"extract", "pairs_exact", "minhash_scored", "pairs_simhash", "pairs", "labels", "clusters"} <= stages
+    assert {
+        "extract",
+        "pairs_exact",
+        "signatures",
+        "simhash_signatures",
+        "minhash_scored",
+        "pairs_simhash",
+        "pairs",
+        "labels",
+        "clusters",
+    } <= stages
