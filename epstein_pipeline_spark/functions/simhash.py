@@ -11,6 +11,12 @@ The signature is a pandas UDF with all inner math vectorized in numpy:
 token feature hashes come from a batch-level vocabulary cache (web text
 has high token reuse), bit contributions via ``np.unpackbits`` and one
 matrix-vector product per document.
+
+Feature weights are log1p-damped counts: raw counts let the shared
+stopword mass dominate the bit sums and unrelated pages collapse into
+the Hamming ball (the published SimHash deployments weight features by
+idf for the same reason — log-damping needs no corpus pass and gives
+the same head-suppression).
 """
 
 from __future__ import annotations
@@ -40,11 +46,11 @@ def py_simhash(text: str, ngram: int = 2) -> int:
             feats[bg] = feats.get(bg, 0) + 1
     if not feats:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    acc = np.zeros(64, dtype=np.float64)
     for tok, w in feats.items():
         h = _token_hash(tok)
         bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8), bitorder="little")
-        acc += (2 * bits.astype(np.int64) - 1) * w
+        acc += (2 * bits.astype(np.float64) - 1) * np.log1p(w)
     sim = 0
     for j in range(64):
         if acc[j] > 0:
@@ -91,7 +97,7 @@ def make_simhash_udf(ngram: int = 2):
                 continue
             hs, ws = feat_hashes(feats)
             bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            acc = ws @ (2.0 * bits - 1.0)
+            acc = np.log1p(ws) @ (2.0 * bits - 1.0)
             sim = np.uint64(0)
             one = np.uint64(1)
             for j in np.nonzero(acc > 0)[0]:

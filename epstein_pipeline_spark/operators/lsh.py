@@ -55,32 +55,62 @@ def band_rows(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def bucket_pairs_expr(members: Column, cap: int) -> Column:
+    """JVM-side pair expansion over a sorted bucket-member array.
+
+    members: array<struct<...>> sorted by its first field (url). Small
+    buckets (<= cap) expand to all C(n,2) pairs; oversized buckets emit
+    a sorted adjacent CHAIN + star to the minimum element — O(n) edges
+    that keep every true cluster connected (SURVEY.md §4.1 skew guard).
+
+    Doing this with array higher-order functions means candidate
+    generation is ONE shuffle (the groupBy) instead of the
+    sizes-join + self-join + window cascade — the shuffle-count
+    difference dominates wall-clock at every scale.
+    """
+    n = F.size(members)
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(members, i + 1, n),  # slice clamps to array end
+                lambda y: F.struct(F.element_at(members, i).alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    chain = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(members, i).alias("a"), F.element_at(members, i + 1).alias("b")
+        ),
+    )
+    star = F.transform(
+        F.sequence(F.lit(3), F.greatest(n, F.lit(3))),
+        lambda i: F.struct(
+            F.element_at(members, 1).alias("a"), F.element_at(members, i).alias("b")
+        ),
+    )
+    guarded = F.when(n <= cap, all_pairs).otherwise(
+        F.concat(chain, F.when(n >= 3, star).otherwise(F.array()))
+    )
+    return guarded
+
+
 def candidate_pairs_from_bands(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (url1 < url2) candidate pairs from band buckets, with
-    the oversized-bucket chain+star guard."""
-    sizes = bands.groupBy("band_i", "band_hash").agg(F.count("*").alias("_bsz"))
-    b = bands.join(sizes, ["band_i", "band_hash"])
-
-    small = b.filter(F.col("_bsz") <= cfg.band_bucket_cap)
-    a1, a2 = small.alias("a"), small.alias("b")
-    small_pairs = (
-        a1.join(a2, ["band_i", "band_hash"])
-        .filter(F.col("a.url") < F.col("b.url"))
-        .select(F.col("a.url").alias("url1"), F.col("b.url").alias("url2"))
+    the oversized-bucket chain+star guard. One shuffle: groupBy band
+    key -> sorted member array -> JVM pair expansion -> explode."""
+    buckets = (
+        bands.groupBy("band_i", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("url"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
     )
-
-    big = b.filter(F.col("_bsz") > cfg.band_bucket_cap)
-    w = Window.partitionBy("band_i", "band_hash").orderBy("url")
-    ranked = big.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_prev", F.lag("url").over(w)
-    ).withColumn("_anchor", F.first("url").over(w))
-    chain = ranked.filter(F.col("_prev").isNotNull()).select(
-        F.col("_prev").alias("url1"), F.col("url").alias("url2")
+    pairs = buckets.select(
+        F.explode(bucket_pairs_expr(F.col("_ms"), cfg.band_bucket_cap)).alias("p")
     )
-    star = ranked.filter(F.col("_rn") > 2).select(
-        F.col("_anchor").alias("url1"), F.col("url").alias("url2")
-    )
-    return small_pairs.unionByName(chain).unionByName(star).distinct()
+    return pairs.select(
+        F.col("p.a.url").alias("url1"), F.col("p.b.url").alias("url2")
+    ).dropDuplicates(["url1", "url2"])
 
 
 def score_candidates(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -49,6 +49,8 @@ def simhash_pass(
 
     Pass precomputed ``sigs`` (url, simhash) to avoid re-running the
     signature UDF (the pipeline commits signatures as a stage)."""
+    from epstein_pipeline_spark.operators.lsh import bucket_pairs_expr
+
     if sigs is None:
         sigs = simhash_signatures(df, cfg, id_col, text_col)
     bands = sigs.select(
@@ -59,43 +61,31 @@ def simhash_pass(
         ),
     )
 
-    # same oversized-bucket guard as the LSH pass: a 16-bit band of all
-    # boilerplate-identical docs is a hot key
-    sizes = bands.groupBy("band_i", "band_val").agg(F.count("*").alias("_bsz"))
-    b = bands.join(sizes, ["band_i", "band_val"])
-    small = b.filter(F.col("_bsz") <= cfg.band_bucket_cap)
-    a1, a2 = small.alias("a"), small.alias("b")
+    # one shuffle: groupBy band bucket -> sorted (url, simhash) member
+    # array -> JVM pair expansion with the oversized-bucket chain+star
+    # guard (boilerplate-identical pages make 16-bit bands hot keys).
+    # Signatures travel inside the member structs, so Hamming
+    # verification needs NO join back.
+    buckets = (
+        bands.groupBy("band_i", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("url", "simhash"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
     pairs = (
-        a1.join(a2, ["band_i", "band_val"])
-        .filter(F.col("a.url") < F.col("b.url"))
+        buckets.select(F.explode(bucket_pairs_expr(F.col("_ms"), cfg.band_bucket_cap)).alias("p"))
         .select(
-            F.col("a.url").alias("url1"),
-            F.col("a.simhash").alias("_h1"),
-            F.col("b.url").alias("url2"),
-            F.col("b.simhash").alias("_h2"),
+            F.col("p.a.url").alias("url1"),
+            F.col("p.a.simhash").alias("_h1"),
+            F.col("p.b.url").alias("url2"),
+            F.col("p.b.simhash").alias("_h2"),
         )
+        .withColumn("_d", hamming_distance_expr(F.col("_h1"), F.col("_h2")))
+        .filter(F.col("_d") <= cfg.hamming_max)  # verify BEFORE the dedup shuffle
+        .dropDuplicates(["url1", "url2"])
     )
-    big = b.filter(F.col("_bsz") > cfg.band_bucket_cap)
-    w = Window.partitionBy("band_i", "band_val").orderBy("url")
-    ranked = big.withColumn("_prev", F.lag("url").over(w)).withColumn(
-        "_prev_h", F.lag("simhash").over(w)
-    )
-    chain = ranked.filter(F.col("_prev").isNotNull()).select(
-        F.col("_prev").alias("url1"),
-        F.col("_prev_h").alias("_h1"),
-        F.col("url").alias("url2"),
-        F.col("simhash").alias("_h2"),
-    )
-    pairs = pairs.unionByName(chain).dropDuplicates(["url1", "url2"])
-
-    d = hamming_distance_expr(F.col("_h1"), F.col("_h2"))
-    return (
-        pairs.withColumn("_d", d)
-        .filter(F.col("_d") <= cfg.hamming_max)
-        .select(
-            "url1",
-            "url2",
-            (F.lit(1.0) - F.col("_d") / F.lit(float(cfg.simhash_bits))).alias("score"),
-            F.lit("simhash").alias("method"),
-        )
+    return pairs.select(
+        "url1",
+        "url2",
+        (F.lit(1.0) - F.col("_d") / F.lit(float(cfg.simhash_bits))).alias("score"),
+        F.lit("simhash").alias("method"),
     )

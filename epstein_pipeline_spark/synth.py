@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-_WORDS = (
+_BASE_WORDS = (
     "the of and to in a is that for with on as by at from this be are was "
     "were it an or which not but all can had has have one their there so "
     "data web page crawl corpus document text content model train token "
@@ -46,6 +46,26 @@ _WORDS = (
     "partition shuffle join group sort limit window frame state checkpoint "
     "snapshot commit resume lineage metric byte second throughput scale"
 ).split()
+
+# Zipfian vocabulary ~4k types: real webtext vocabulary is large and
+# heavy-tailed; a tiny vocab makes unrelated documents collide in
+# token-feature space (SimHash) which no real corpus does.
+_WORDS = _BASE_WORDS + [
+    f"{w}{suffix}"
+    for suffix in ("er", "ing", "ed", "ly", "ism", "ous", "al", "ic", "ure",
+                   "ate", "ive", "ion", "est", "ment", "ful", "ity", "ology",
+                   "ward", "ship", "less", "ness", "scape", "craft", "work",
+                   "field", "stone", "berg", "ford", "ton", "ville", "shire",
+                   "dale", "brook", "haven", "wood", "gate", "port", "mark",
+                   "land", "fall", "rise", "morph", "tron", "plex", "gram")
+    for w in _BASE_WORDS
+]
+
+# 1/rank Zipf weights, deterministic
+import numpy as _np  # noqa: E402
+
+_ZIPF_CDF = _np.cumsum(1.0 / _np.arange(1, len(_WORDS) + 1) ** 1.05)
+_ZIPF_CDF /= _ZIPF_CDF[-1]
 
 _SENT_LEN = (6, 16)
 _PARA_SENTS = (4, 9)
@@ -70,19 +90,30 @@ class SynthCorpus:
     stats: dict = field(default_factory=dict)
 
 
-def _sentence(rng: np.random.RandomState) -> str:
+def _sentence(rng: np.random.RandomState, topic: np.ndarray) -> str:
+    """Mix of global head words (stopword-like, shared by all docs) and
+    doc-specific topic words — the structure of real webtext: shared
+    function words, distinct content vocabulary per page."""
     n = rng.randint(*_SENT_LEN)
-    words = [_WORDS[i] for i in rng.randint(0, len(_WORDS), n)]
+    head = np.searchsorted(_ZIPF_CDF, rng.rand(n) * 0.35)  # head of the zipf
+    content = topic[rng.randint(0, len(topic), n)]
+    use_head = rng.rand(n) < 0.45
+    words = [_WORDS[h] if uh else _WORDS[c] for h, c, uh in zip(head, content, use_head)]
     words[0] = words[0].capitalize()
     return " ".join(words) + "."
 
 
-def _paragraph(rng: np.random.RandomState) -> str:
-    return " ".join(_sentence(rng) for _ in range(rng.randint(*_PARA_SENTS)))
+def _paragraph(rng: np.random.RandomState, topic: np.ndarray) -> str:
+    return " ".join(_sentence(rng, topic) for _ in range(rng.randint(*_PARA_SENTS)))
 
 
 def _doc_text(rng: np.random.RandomState) -> str:
-    return "\n\n".join(_paragraph(rng) for _ in range(rng.randint(*_DOC_PARAS)))
+    # each document draws its content words from its own ~150-type
+    # topic slice of the tail vocabulary
+    topic = rng.randint(len(_BASE_WORDS), len(_WORDS), 150)
+    return "\n\n".join(
+        _paragraph(rng, topic) for _ in range(rng.randint(*_DOC_PARAS))
+    )
 
 
 def _ocr_noise(text: str, rng: np.random.RandomState) -> str:
