@@ -660,6 +660,102 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_bates_overlap(spark, sf):
+    """J2: interval-overlap range join — Bates-style ranges derived
+    deterministically from doc_id (same derivation in the oracle)."""
+    from epstein_pipeline_spark.operators.range_join import bates_overlap_pairs
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("EFTA"),
+            F.lpad(((F.col("doc_id") * 37) % 1000).cast("string"), 5, "0"),
+            F.lit("-EFTA"),
+            F.lpad(((F.col("doc_id") * 37) % 1000 + (F.col("doc_id") % 7) * 13).cast("string"), 5, "0"),
+        ).alias("batesRange"),
+    )
+    return bates_overlap_pairs(d, id_col="doc_id").select(
+        F.col("url1").alias("doc_id1"), F.col("url2").alias("doc_id2"), "score"
+    )
+
+
+O_BATES_OVERLAP = """
+WITH d AS (
+  SELECT doc_id,
+         (doc_id * 37) % 1000 AS lo,
+         (doc_id * 37) % 1000 + (doc_id % 7) * 13 AS hi
+  FROM documents
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, 0.95 AS score
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lo <= b.hi AND b.lo <= a.hi
+"""
+
+
+def q_title_fuzzy(spark, sf):
+    """J3: blocked fuzzy-title join over derived titles (first 25
+    normalized chars), levenshtein ratio >= 0.8 within first-word
+    blocks."""
+    from epstein_pipeline_spark.operators.fuzzy_title import title_fuzzy_pairs
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.substring(_norm("text"), 1, 25).alias("title")
+    )
+    return title_fuzzy_pairs(d, id_col="doc_id", threshold=0.8).select(
+        F.col("url1").alias("doc_id1"), F.col("url2").alias("doc_id2"), "score"
+    )
+
+
+O_TITLE_FUZZY = f"""
+WITH d AS (
+  SELECT doc_id, substr({_NORM_DUCK.format(c='text')}, 1, 25) AS title
+  FROM documents
+), t AS (
+  SELECT doc_id, title, string_split(title, ' ')[1] AS blk FROM d
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(CASE WHEN greatest(length(a.title), length(b.title)) = 0 THEN 1.0
+                  ELSE 1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
+                        / greatest(length(a.title), length(b.title)) END, 6) AS score
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round(CASE WHEN greatest(length(a.title), length(b.title)) = 0 THEN 1.0
+                 ELSE 1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
+                       / greatest(length(a.title), length(b.title)) END, 6) >= 0.8
+"""
+
+
+def q_event_cooccurrence(spark, sf):
+    """A5: weighted co-occurrence edges — event types co-used by the
+    same user, canonical endpoint order, summed weights."""
+    e = _t(spark, sf, "events").select("user_id", "event_type").distinct()
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(F.col("a.event_type").alias("src"), F.col("b.event_type").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+O_EVENT_COOCCURRENCE = """
+WITH e AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS src, b.event_type AS dst, count(*) AS weight
+FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_duplicate_ids(spark, sf):
+    """A7: duplicate-id integrity check (integrity.py:87-96)."""
+    from epstein_pipeline_spark.operators.integrity import duplicate_ids
+
+    return duplicate_ids(_docs(spark, sf), id_col="doc_id")
+
+
+O_DUPLICATE_IDS = """
+SELECT doc_id AS id, count(*) AS n FROM documents GROUP BY doc_id HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: pandas-UDF signatures,
 # LSH banding, iterative pipeline) — driver records row counts
@@ -726,8 +822,31 @@ def q_dedup_clusters_planted(spark, sf):
     return build_clusters(labels, pairs, corpus)
 
 
+def q_rhp_cosine_pairs(spark, sf):
+    """Scale-path ANN: random-hyperplane LSH bucketed cosine pair join
+    with exact verification (the HNSW/IVF stand-in)."""
+    from epstein_pipeline_spark.operators.embed_pass import cosine_pairs_rhp
+
+    return cosine_pairs_rhp(
+        _t(spark, sf, "embeddings"), threshold=0.40, n_bits=8, n_tables=16
+    )
+
+
+def q_chunk_documents(spark, sf):
+    """F5: pandas-UDF chunker + posexplode (UDTF-shaped flatMap)."""
+    from epstein_pipeline_spark.functions.chunker import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), id_col="doc_id", text_col="text", target_chars=200)
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
+    "bates_overlap": q_bates_overlap,
+    "title_fuzzy": q_title_fuzzy,
+    "event_cooccurrence": q_event_cooccurrence,
+    "duplicate_ids": q_duplicate_ids,
+    "rhp_cosine_pairs": q_rhp_cosine_pairs,
+    "chunk_documents": q_chunk_documents,
     "exact_dup_pairs": q_exact_dup_pairs,
     "stats_by_source": q_stats_by_source,
     "token_stats": q_token_stats,
@@ -755,6 +874,11 @@ QUERIES = {
 
 ORACLES = {
     "norm_hash": O_NORM_HASH,
+    "bates_overlap": O_BATES_OVERLAP,
+    "title_fuzzy": O_TITLE_FUZZY,
+    "event_cooccurrence": O_EVENT_COOCCURRENCE,
+    "duplicate_ids": O_DUPLICATE_IDS,
+    # rhp_cosine_pairs / chunk_documents: pandas-UDF paths, rows-only
     "exact_dup_pairs": O_EXACT_DUP_PAIRS,
     "stats_by_source": O_STATS_BY_SOURCE,
     "token_stats": O_TOKEN_STATS,

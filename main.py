@@ -1,0 +1,98 @@
+"""spark-submit entry point.
+
+Usage:
+  spark-submit --py-files dist/epstein_pipeline_spark.zip main.py \\
+      dedup --input <pages parquet> --store <checkpoint root> \\
+            --output <clusters parquet> [--no-lcs] [--no-resume]
+
+  spark-submit ... main.py synth --pages 10000 --output <parquet dir>
+
+The dedup job reads the pages table (url, warc_ts, html, text, lang),
+runs extract -> exact -> MinHash/LSH -> SimHash -> LCS -> connected
+components -> clusters with per-stage committed checkpoints, and
+writes the cluster table. Re-running with the same --store resumes
+from the last committed snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_dedup(args) -> None:
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.config import DedupConfig
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+    from epstein_pipeline_spark.plans.pipeline import run_dedup
+    from epstein_pipeline_spark.sources.io import read_pages, write_clusters
+
+    spark = SparkSession.builder.appName("epstein_pipeline_spark.dedup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    pages = read_pages(spark, args.input)
+    t0 = time.time()
+    res = run_dedup(
+        spark,
+        pages,
+        StageStore(args.store),
+        DedupConfig(),
+        resume=not args.no_resume,
+        use_extracted=True,
+        lcs_check=not args.no_lcs,
+    )
+    write_clusters(res.clusters, args.output)
+    print(
+        json.dumps(
+            {
+                "docs_in": res.docs_in,
+                "pairs": res.pairs.count(),
+                "clusters_rows": res.clusters.count(),
+                "seconds": round(time.time() - t0, 2),
+                "stage_seconds": {k: round(v, 2) for k, v in res.stage_seconds.items()},
+            }
+        )
+    )
+
+
+def cmd_synth(args) -> None:
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.synth import generate_corpus, pages_to_spark
+
+    spark = SparkSession.builder.appName("epstein_pipeline_spark.synth").getOrCreate()
+    corpus = generate_corpus(n_pages=args.pages, seed=args.seed, mega_cluster_size=args.mega)
+    pages_to_spark(spark, corpus, partitions=args.partitions).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(json.dumps(corpus.stats))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="epstein_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="end-to-end near-duplicate detection + clustering")
+    d.add_argument("--input", required=True)
+    d.add_argument("--store", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--no-lcs", action="store_true")
+    d.add_argument("--no-resume", action="store_true")
+    d.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("synth", help="write a deterministic synthetic pages corpus")
+    s.add_argument("--pages", type=int, default=10000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--mega", type=int, default=0)
+    s.add_argument("--partitions", type=int, default=64)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
