@@ -76,21 +76,23 @@ class StageStore:
         df.write.mode("overwrite").parquet(str(out_dir))
 
         spark = df.sparkSession
-        written = spark.read.parquet(str(out_dir))
-        part_rows = (
-            written.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .collect()
-        )
+        # per-partition lineage from parquet footers — driver-side
+        # metadata reads, no extra Spark job per commit
+        import pyarrow.parquet as pq
+
         now = time.time()
-        bytes_out = sum(
-            p.stat().st_size for p in out_dir.glob("*.parquet") if p.is_file()
-        )
-        lineage_rows = [
-            (stage, snap_id, int(r["partition_id"]), int(r["rows_out"]),
-             int(bytes_out / max(1, len(part_rows))), now)
-            for r in part_rows
-        ] or [(stage, snap_id, -1, 0, 0, now)]
+        lineage_rows = []
+        total_rows = 0
+        bytes_out = 0
+        files = sorted(p for p in out_dir.glob("*.parquet") if p.is_file())
+        for i, p in enumerate(files):
+            n = pq.ParquetFile(p).metadata.num_rows
+            sz = p.stat().st_size
+            total_rows += n
+            bytes_out += sz
+            lineage_rows.append((stage, snap_id, i, int(n), int(sz), now))
+        if not lineage_rows:
+            lineage_rows = [(stage, snap_id, -1, 0, 0, now)]
         ldf = spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA)
         ldf.coalesce(1).write.mode("append").parquet(str(self.root / "_lineage"))
 
@@ -98,7 +100,7 @@ class StageStore:
             "stage": stage,
             "snapshot": snap_id,
             "path": str(out_dir),
-            "rows": int(sum(r["rows_out"] for r in part_rows)),
+            "rows": int(total_rows),
             "bytes": bytes_out,
             "counters": counters or {},
             "committed_at": now,

@@ -49,7 +49,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Input-split size gates narrow-stage parallelism: a 100 MB test
+        # corpus at the production default (128 MB) becomes ONE input
+        # partition and every scan-shaped stage runs serial. 8 MB keeps
+        # sandbox corpora spread across all cores; on a real cluster
+        # with TB inputs raise this back to 128 MB via extra_conf.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
