@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "48000"))
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 # scaling pair: N vs 4N cores. 2 vs 8 keeps both runs under the
 # sandbox's memory-bandwidth ceiling (local-mode threads share one
 # socket; 32 threads measure the bus, not the engine)
@@ -91,11 +92,25 @@ def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
     from epstein_pipeline_spark.plans.pipeline import run_dedup as run_pipeline
     from epstein_pipeline_spark.session import get_spark
 
-    spark = get_spark(f"bench_dedup_{cores}", cores=cores, shuffle_partitions=128)
+    spark = get_spark(
+        f"bench_dedup_{cores}",
+        cores=cores,
+        shuffle_partitions=128,
+        extra_conf={"spark.local.dir": "/dev/shm/spark-bench-tmp"},
+    )
     try:
         pages = spark.read.parquet(corpus_path)
         n = pages.count()
-        with tempfile.TemporaryDirectory() as tmp:
+        # warmup: exercise every code path (regex JIT, codegen, python
+        # workers, shuffle machinery) on a small slice so the timed run
+        # measures steady-state, not JVM warmup
+        with tempfile.TemporaryDirectory(dir="/dev/shm") as wtmp:
+            wres = run_pipeline(
+                spark, pages.limit(2000), StageStore(wtmp), DedupConfig(),
+                use_extracted=True, lcs_check=True,
+            )
+            wres.clusters.write.format("noop").mode("overwrite").save()
+        with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
             t0 = time.time()
             res = run_pipeline(
                 spark, pages, StageStore(tmp), DedupConfig(), use_extracted=True, lcs_check=True
@@ -105,6 +120,24 @@ def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
         return dt, n, res.stage_seconds
     finally:
         spark.stop()
+
+
+def dedup_subprocess(cores: int, corpus_path: str) -> tuple[float, int, dict]:
+    """Run one dedup measurement in a FRESH process: JVM thread pools
+    are sized at launch (-XX:ActiveProcessorCount), so each
+    parallelism level needs its own JVM."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--dedup-run", str(cores), corpus_path],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"dedup subprocess failed: {out.stderr[-2000:]}")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    return res["seconds"], res["n"], res["stages"]
 
 
 def main() -> None:
@@ -119,8 +152,12 @@ def main() -> None:
 
     # 2. dedup scaling: local[8] vs local[CPUS] on the same input
     corpus_path = corpus_parquet(BENCH_PAGES)
-    t_lo, n, stages_lo = run_dedup(CORES_LO, corpus_path)
-    t_hi, _, stages_hi = run_dedup(CORES_HI, corpus_path)
+    # min-of-N per level: the sandbox host has sporadic multi-second
+    # hiccups; min is the steady-state estimator
+    runs_lo = [dedup_subprocess(CORES_LO, corpus_path) for _ in range(BENCH_REPEATS)]
+    runs_hi = [dedup_subprocess(CORES_HI, corpus_path) for _ in range(BENCH_REPEATS)]
+    t_lo, n, stages_lo = min(runs_lo, key=lambda r: r[0])
+    t_hi, _, stages_hi = min(runs_hi, key=lambda r: r[0])
     tput_lo, tput_hi = n / t_lo, n / t_hi
     eff = (tput_hi / tput_lo) / (CORES_HI / CORES_LO)
 
@@ -148,4 +185,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--dedup-run":
+        _t, _n, _st = run_dedup(int(sys.argv[2]), sys.argv[3])
+        print(json.dumps({"seconds": _t, "n": _n, "stages": _st}))
+    else:
+        main()

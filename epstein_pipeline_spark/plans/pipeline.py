@@ -127,7 +127,14 @@ def run_dedup(
         est = score_candidates(cands, mh_sigs, cfg).filter(
             F.col("score") >= cfg.lcs_gray_low - 0.10  # estimator margin
         )
-        return exact_jaccard_pairs(est, docs, cfg)
+        # exact shingle-Jaccard arbitration is only needed NEAR the
+        # threshold: at est >= 0.9 the 128-perm estimator's miss
+        # probability for true J < 0.8 is ~Phi(-3.5) — accept directly.
+        # This keeps dense exact-dup cliques (already caught by the
+        # exact pass anyway) out of the O(pairs * text) verify.
+        high = est.filter(F.col("score") >= 0.90)
+        near = est.filter(F.col("score") < 0.90)
+        return high.unionByName(exact_jaccard_pairs(near, docs, cfg))
 
     mh_scored = staged("minhash_scored", build_minhash_scored)
     p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(

@@ -40,6 +40,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
+        # make local[N] mean N: size JVM internal pools (GC, JIT,
+        # netty, parquet) to N, not to the machine's visible CPUs —
+        # otherwise a "2-core" run borrows helper-thread time and
+        # scaling measurements lie. Only effective on the process's
+        # FIRST SparkContext (JVM flags are set at launch).
+        .config("spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={n}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
