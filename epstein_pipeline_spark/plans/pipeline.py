@@ -127,6 +127,9 @@ def run_dedup(
         est = score_candidates(cands, mh_sigs, cfg).filter(
             F.col("score") >= cfg.lcs_gray_low - 0.10  # estimator margin
         )
+        # both branches below consume `est`; materialize once or the
+        # whole band-join subtree is computed twice
+        est = est.localCheckpoint(eager=True)
         # exact shingle-Jaccard arbitration is only needed NEAR the
         # threshold: at est >= 0.9 the 128-perm estimator's miss
         # probability for true J < 0.8 is ~Phi(-3.5) — accept directly.
