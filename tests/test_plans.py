@@ -1,0 +1,94 @@
+"""Physical-plan quality gates: predicate pushdown reaches the scan,
+column pruning works, small dims broadcast, big tables don't, and the
+JVM-only paths stay inside WholeStageCodegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.config import DedupConfig
+from epstein_pipeline_spark.functions.text import content_hash_expr, normalize_text_expr
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read all 11 lineitem columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+
+
+def test_small_dim_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+    )
+    assert "BroadcastHashJoin" in plan(joined)  # nation (25 rows) must broadcast
+
+
+def test_broadcast_threshold_regression(spark):
+    """Round-1 regression: a 55MB signature table sat under the 64MB
+    broadcast threshold and was built/shipped per join, serializing the
+    verify stage. The session must keep the threshold conservative; at
+    genuinely-small inputs (like this test corpus) broadcasting remains
+    correct and allowed."""
+    thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold").rstrip("b"))
+    assert thr <= 16 * 1024 * 1024
+
+
+def test_exact_path_is_jvm_only(spark, pages):
+    """normalize + sha2 + window: no Python evaluation nodes, and
+    whole-stage codegen covers the scan+project."""
+    from epstein_pipeline_spark.operators.exact import exact_pairs
+
+    df = exact_pairs(pages.select("url", "text"))
+    p = plan(df)
+    # no Python evaluation anywhere in the exact path (AQE hides
+    # WholeStageCodegen spans until execution, so assert the absence of
+    # Python nodes rather than the presence of codegen markers)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_extract_stage_is_jvm_only(spark, pages):
+    from epstein_pipeline_spark.plans.pipeline import extract_stage
+
+    p = plan(extract_stage(pages))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_band_candidates_single_shuffle(spark, pages):
+    """Band candidate generation must contain exactly one Exchange
+    (the groupBy) before the dedup shuffle — the sizes-join/self-join
+    cascade would show 3+."""
+    from epstein_pipeline_spark.operators.lsh import (
+        band_rows,
+        candidate_pairs_from_bands,
+        minhash_signatures,
+    )
+
+    cfg = DedupConfig(band_bucket_cap=100)
+    sigs = minhash_signatures(pages.select("url", "text"), cfg).localCheckpoint(eager=True)
+    cands = candidate_pairs_from_bands(band_rows(sigs, cfg), cfg)
+    import re
+
+    p = plan(cands)
+    # formatted explain prints each node in the tree AND a detail
+    # section; count the detail headers "(n) Exchange"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{p}"
