@@ -822,6 +822,39 @@ def q_dedup_clusters_planted(spark, sf):
     return build_clusters(labels, pairs, corpus)
 
 
+_KW = ["hash", "table", "window"]
+
+
+def q_keyword_search(spark, sf):
+    """FTS stand-in (reference tsvector/FTS5 surface,
+    neon_schema.py:376-379 / sqlite_export.py:137-161): token-match
+    scoring — docs matching >= 2 of 3 query terms, ranked by matched
+    term count then length."""
+    d = _docs(spark, sf).withColumn("toks", F.array_distinct(F.split(_norm("text"), " ")))
+    score = F.size(F.array_intersect(F.col("toks"), _spark_arr(_KW)))
+    return (
+        d.withColumn("matched_terms", score)
+        .filter(F.col("matched_terms") >= 2)
+        .select("doc_id", "matched_terms", "n_chars")
+        .orderBy(F.desc("matched_terms"), F.desc("n_chars"), "doc_id")
+        .limit(20)
+    )
+
+
+O_KEYWORD_SEARCH = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         len(list_intersect(list_distinct(string_split({_NORM_DUCK.format(c='text')}, ' ')),
+                            {_duck_list(_KW)})) AS matched_terms
+  FROM documents
+)
+SELECT doc_id, matched_terms, n_chars FROM d
+WHERE matched_terms >= 2
+ORDER BY matched_terms DESC, n_chars DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_rhp_cosine_pairs(spark, sf):
     """Scale-path ANN: random-hyperplane LSH bucketed cosine pair join
     with exact verification (the HNSW/IVF stand-in)."""
@@ -845,6 +878,7 @@ QUERIES = {
     "title_fuzzy": q_title_fuzzy,
     "event_cooccurrence": q_event_cooccurrence,
     "duplicate_ids": q_duplicate_ids,
+    "keyword_search": q_keyword_search,
     "rhp_cosine_pairs": q_rhp_cosine_pairs,
     "chunk_documents": q_chunk_documents,
     "exact_dup_pairs": q_exact_dup_pairs,
@@ -878,6 +912,7 @@ ORACLES = {
     "title_fuzzy": O_TITLE_FUZZY,
     "event_cooccurrence": O_EVENT_COOCCURRENCE,
     "duplicate_ids": O_DUPLICATE_IDS,
+    "keyword_search": O_KEYWORD_SEARCH,
     # rhp_cosine_pairs / chunk_documents: pandas-UDF paths, rows-only
     "exact_dup_pairs": O_EXACT_DUP_PAIRS,
     "stats_by_source": O_STATS_BY_SOURCE,
