@@ -38,11 +38,10 @@ from epstein_pipeline_spark.operators.lcs import lcs_rescue
 from epstein_pipeline_spark.operators.lsh import (
     band_rows,
     candidate_pairs_from_bands,
-    minhash_signatures,
     score_candidates,
 )
 from epstein_pipeline_spark.operators.pairs import canonicalize_pairs, union_first_wins
-from epstein_pipeline_spark.operators.simhash_pass import simhash_pass, simhash_signatures
+from epstein_pipeline_spark.operators.simhash_pass import simhash_pass
 from epstein_pipeline_spark.operators.verify import exact_jaccard_pairs
 from epstein_pipeline_spark.plans.checkpoint import StageStore
 
@@ -110,13 +109,29 @@ def run_dedup(
     # 2. exact pass (hash-group star pairs)
     p_exact = staged("pairs_exact", lambda: exact_pairs(docs), {"docs_in": n_docs})
 
-    # 3a. signatures — committed once (north_rule checkpoint contract);
-    # downstream band-explosion and verify joins reuse the committed
-    # table instead of re-running the pandas UDF per reference
-    mh_sigs = staged("signatures", lambda: minhash_signatures(docs, cfg), {"docs_in": n_docs})
-    sh_sigs = staged(
-        "simhash_signatures", lambda: simhash_signatures(docs, cfg), {"docs_in": n_docs}
-    )
+    # 3a. signatures — one committed table (url, sig, simhash): both
+    # signature UDFs run in a single pass over the corpus (normalize
+    # once, scan once, commit once — the north_rule signatures
+    # checkpoint); downstream band-explosion and verify joins reuse the
+    # committed table instead of re-running the pandas UDFs
+    def build_signatures() -> DataFrame:
+        from epstein_pipeline_spark.functions.minhash import make_minhash_udf
+        from epstein_pipeline_spark.functions.simhash import make_simhash_udf
+        from epstein_pipeline_spark.functions.text import normalize_text_expr
+
+        mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+        sh_udf = make_simhash_udf()
+        return (
+            docs.filter(F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len))
+            .select("url", normalize_text_expr("text").alias("_norm"), F.length("text").alias("_len"))
+            .withColumn("sig", mh_udf("_norm"))
+            .withColumn("simhash", sh_udf("_norm"))
+            .select("url", "_len", "sig", "simhash")
+        )
+
+    all_sigs = staged("signatures", build_signatures, {"docs_in": n_docs})
+    mh_sigs = all_sigs.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
+    sh_sigs = all_sigs.filter(F.col("_len") > cfg.simhash_min_len).select("url", "simhash")
 
     # 3b. MinHash/LSH: band-join candidates, pre-filtered by the cheap
     # signature estimate (wide margin), then EXACT shingle-Jaccard

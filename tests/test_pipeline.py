@@ -96,7 +96,6 @@ def test_lineage_covers_all_stages(spark, result):
         "extract",
         "pairs_exact",
         "signatures",
-        "simhash_signatures",
         "minhash_scored",
         "pairs_simhash",
         "pairs",
