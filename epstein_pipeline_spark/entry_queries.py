@@ -86,8 +86,21 @@ FROM documents
 
 
 def q_exact_dup_pairs(spark, sf):
-    """J1/A1: hash-group self-join pair expansion."""
-    h = _docs(spark, sf).select("doc_id", F.sha2(_norm("text"), 256).alias("content_hash"))
+    """J1/A1: hash-group self-join pair expansion.
+
+    The raw sf corpus contains no exact normalized dups, so a plain
+    self-join passes vacuously (0 = 0). Plant dups INSIDE the query
+    (the bates_overlap trick): every doc_id % 50 == 0 doc is re-added
+    under doc_id + 1_000_000 with identical text, so the expected
+    output is non-empty and the hash-group expansion is actually
+    exercised. Same derivation in the oracle."""
+    base = _docs(spark, sf).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    h = base.unionByName(planted).select(
+        "doc_id", F.sha2(_norm("text"), 256).alias("content_hash")
+    )
     a, b = h.alias("a"), h.alias("b")
     return (
         a.join(b, "content_hash")
@@ -101,7 +114,11 @@ def q_exact_dup_pairs(spark, sf):
 
 
 O_EXACT_DUP_PAIRS = f"""
-WITH h AS (SELECT doc_id, sha256({_NORM_DUCK.format(c='text')}) AS content_hash FROM documents)
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+), h AS (SELECT doc_id, sha256({_NORM_DUCK.format(c='text')}) AS content_hash FROM d)
 SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, 1.0 AS score
 FROM h a JOIN h b USING (content_hash)
 WHERE a.doc_id < b.doc_id
@@ -474,9 +491,15 @@ WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 2
 
 def q_orders_anti_join(spark, sf):
     """J10/U4: anti-join — customers with no orders (resume-skip
-    semantics, state.py:86-111)."""
+    semantics, state.py:86-111).
+
+    Every sf customer has orders, so anti-joining the raw tables is
+    vacuous (0 = 0); drop the orders of custkey % 61 == 0 customers
+    inside the query so the anti-join provably returns them. Same
+    derivation in the oracle.
+    """
     cust = _t(spark, sf, "customer")
-    orders = _t(spark, sf, "orders")
+    orders = _t(spark, sf, "orders").filter(F.col("o_custkey") % 61 != 0)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -485,7 +508,7 @@ def q_orders_anti_join(spark, sf):
 
 O_ORDERS_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey % 61 <> 0)
 """
 
 
@@ -662,19 +685,25 @@ WHERE a.vec_id < b.vec_id
 
 def q_bates_overlap(spark, sf):
     """J2: interval-overlap range join — Bates-style ranges derived
-    deterministically from doc_id (same derivation in the oracle)."""
-    from epstein_pipeline_spark.operators.range_join import bates_overlap_pairs
+    deterministically from doc_id (same derivation in the oracle).
 
+    16 derived prefixes (A..P from doc_id % 16) so the equi-join key
+    has real cardinality (a single constant prefix puts every row in
+    ONE task — the r1 skew finding), and the exercised path is the
+    skew-resistant bucketized variant, not the plain prefix join."""
+    from epstein_pipeline_spark.operators.range_join import bates_pairs_bucketized
+
+    pfx = F.char(F.lit(65) + (F.col("doc_id") % 16))
+    lo = (F.col("doc_id") * 37) % 1000
     d = _docs(spark, sf).select(
         "doc_id",
         F.concat(
-            F.lit("EFTA"),
-            F.lpad(((F.col("doc_id") * 37) % 1000).cast("string"), 5, "0"),
-            F.lit("-EFTA"),
-            F.lpad(((F.col("doc_id") * 37) % 1000 + (F.col("doc_id") % 7) * 13).cast("string"), 5, "0"),
+            pfx, F.lpad(lo.cast("string"), 5, "0"),
+            F.lit("-"),
+            pfx, F.lpad((lo + (F.col("doc_id") % 7) * 13).cast("string"), 5, "0"),
         ).alias("batesRange"),
     )
-    return bates_overlap_pairs(d, id_col="doc_id").select(
+    return bates_pairs_bucketized(d, id_col="doc_id", bucket=100).select(
         F.col("url1").alias("doc_id1"), F.col("url2").alias("doc_id2"), "score"
     )
 
@@ -682,12 +711,14 @@ def q_bates_overlap(spark, sf):
 O_BATES_OVERLAP = """
 WITH d AS (
   SELECT doc_id,
+         chr(65 + CAST(doc_id % 16 AS INT)) AS pfx,
          (doc_id * 37) % 1000 AS lo,
          (doc_id * 37) % 1000 + (doc_id % 7) * 13 AS hi
   FROM documents
 )
 SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, 0.95 AS score
-FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lo <= b.hi AND b.lo <= a.hi
+FROM d a JOIN d b
+  ON a.pfx = b.pfx AND a.doc_id < b.doc_id AND a.lo <= b.hi AND b.lo <= a.hi
 """
 
 
@@ -745,14 +776,26 @@ GROUP BY 1, 2
 
 
 def q_duplicate_ids(spark, sf):
-    """A7: duplicate-id integrity check (integrity.py:87-96)."""
+    """A7: duplicate-id integrity check (integrity.py:87-96).
+
+    Corpus ids are unique, so the check over raw documents passes
+    vacuously (0 = 0); plant id collisions inside the query — every
+    doc_id % 97 == 0 row is unioned back under its own id — so the
+    validator provably fires. Same derivation in the oracle."""
     from epstein_pipeline_spark.operators.integrity import duplicate_ids
 
-    return duplicate_ids(_docs(spark, sf), id_col="doc_id")
+    base = _docs(spark, sf)
+    planted = base.unionByName(base.filter(F.col("doc_id") % 97 == 0))
+    return duplicate_ids(planted, id_col="doc_id")
 
 
 O_DUPLICATE_IDS = """
-SELECT doc_id AS id, count(*) AS n FROM documents GROUP BY doc_id HAVING count(*) > 1
+WITH d AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+)
+SELECT doc_id AS id, count(*) AS n FROM d GROUP BY doc_id HAVING count(*) > 1
 """
 
 

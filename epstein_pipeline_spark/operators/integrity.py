@@ -44,10 +44,13 @@ def invalid_dates(docs: DataFrame, id_col: str = "id", date_col: str = "date") -
     year = F.regexp_extract("date", _DATE_RE, 1).cast("int")
     month = F.nullif(F.regexp_extract("date", _DATE_RE, 3), F.lit("")).cast("int")
     day = F.nullif(F.regexp_extract("date", _DATE_RE, 5), F.lit("")).cast("int")
-    # to_date validates day-of-month incl. leap years
+    # try_to_date validates day-of-month incl. leap years and returns
+    # NULL (instead of raising under ANSI mode) for regex-valid dates
+    # with an impossible day like 2020-02-31 — this validator must FLAG
+    # bad rows, never abort the job on them
     full = F.when(
         day.isNotNull(),
-        F.to_date(F.col("date"), "yyyy-MM-dd"),
+        F.try_to_date(F.col("date"), "yyyy-MM-dd"),
     )
     reason = (
         F.when(~F.regexp_like("date", F.lit(_DATE_RE)), "malformed")

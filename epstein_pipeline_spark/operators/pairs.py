@@ -40,7 +40,9 @@ def union_first_wins(*passes: DataFrame) -> DataFrame:
     for p in passes:
         unioned = p if unioned is None else unioned.unionByName(p)
     assert unioned is not None
-    ranked = unioned.withColumn("_prio", prio[F.col("method")])
+    # unmapped method strings rank LAST (nulls would sort first
+    # ascending and silently outrank 'exact')
+    ranked = unioned.withColumn("_prio", F.coalesce(prio[F.col("method")], F.lit(99)))
     w = Window.partitionBy("url1", "url2").orderBy("_prio", F.desc("score"))
     return (
         ranked.withColumn("_rn", F.row_number().over(w))

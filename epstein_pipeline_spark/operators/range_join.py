@@ -16,22 +16,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_BATES_RE = r"^([A-Za-z]+)(\d+)\s*-\s*([A-Za-z]+)?(\d+)$"
+_BATES_RE = r"^([A-Za-z]+)(\d+)(?:\s*-\s*([A-Za-z]+)?(\d+))?$"
 
 
 def parse_bates(df: DataFrame, col: str = "batesRange") -> DataFrame:
     """Add (bates_prefix, bates_lo, bates_hi); null prefix = unparsable
-    (reference regex ([A-Z]+)(\\d+), dedup.py:53-78)."""
+    (reference regex ([A-Z]+)(\\d+), dedup.py:53-78).
+
+    Matches the reference's semantics: a dash-less single Bates number
+    "EFTA00123" parses as (prefix, n, n); a second prefix, when present,
+    must equal the first ("EFTA1-ABCD2" is unparsable); reversed ranges
+    are normalized lo<=hi from the ORIGINAL bounds (least/greatest over
+    pre-swap values — a sequential withColumn swap self-clobbers)."""
     c = F.col(col)
     prefix = F.regexp_extract(c, _BATES_RE, 1)
-    lo = F.regexp_extract(c, _BATES_RE, 2)
-    hi = F.regexp_extract(c, _BATES_RE, 4)
-    return (
-        df.withColumn("bates_prefix", F.when(prefix != "", prefix))
-        .withColumn("bates_lo", F.when(lo != "", lo.cast("long")))
-        .withColumn("bates_hi", F.when(hi != "", hi.cast("long")))
-        .withColumn("bates_lo", F.least("bates_lo", "bates_hi"))
-        .withColumn("bates_hi", F.greatest("bates_lo", "bates_hi"))
+    prefix2 = F.regexp_extract(c, _BATES_RE, 3)
+    raw_lo = F.nullif(F.regexp_extract(c, _BATES_RE, 2), F.lit("")).cast("long")
+    raw_hi = F.coalesce(
+        F.nullif(F.regexp_extract(c, _BATES_RE, 4), F.lit("")).cast("long"), raw_lo
+    )
+    ok = (prefix != "") & ((prefix2 == "") | (prefix2 == prefix))
+    return df.select(
+        "*",
+        F.when(ok, prefix).alias("bates_prefix"),
+        F.when(ok, F.least(raw_lo, raw_hi)).alias("bates_lo"),
+        F.when(ok, F.greatest(raw_lo, raw_hi)).alias("bates_hi"),
     )
 
 

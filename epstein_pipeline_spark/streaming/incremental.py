@@ -14,8 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
-from epstein_pipeline_spark.functions.text import content_hash_expr, extract_text_expr
+from epstein_pipeline_spark.functions.text import (
+    clean_ocr_noise_expr,
+    content_hash_expr,
+    extract_text_expr,
+)
 from epstein_pipeline_spark.sources.io import PAGES_SCHEMA
 
 
@@ -32,25 +37,40 @@ def incremental_dedup_ingest(
     processAllAvailable() in tests or leave it running in production.
     """
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    # hash key = content_hash(normalize(clean_ocr_noise(extract))) —
+    # byte-identical to the batch pipeline's extract_stage key so the
+    # two ingest paths agree on what "duplicate content" means
     extracted = stream.select(
         "url",
         "warc_ts",
         "lang",
-        extract_text_expr("html").alias("text"),
+        clean_ocr_noise_expr(extract_text_expr("html")).alias("text"),
     ).withColumn("content_hash", content_hash_expr("text"))
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        # idempotent sink: each micro-batch OVERWRITES its own
+        # deterministic batch_id=<id> partition directory, so a
+        # foreachBatch retry after a partial write replaces (never
+        # re-appends) that batch's rows — the batch-id idempotence
+        # pattern. `seen` excludes the current batch_id so a retry's
+        # own partial output can't anti-join its rows away.
         sp = batch.sparkSession
         try:
-            seen = sp.read.parquet(output_dir).select("content_hash").distinct()
+            seen = (
+                sp.read.option("basePath", output_dir)
+                .parquet(output_dir + "/batch_id=*")
+                .filter(F.col("batch_id") != batch_id)
+                .select("content_hash")
+                .distinct()
+            )
             fresh = batch.join(seen, "content_hash", "left_anti")
-        except Exception:  # first batch: no output yet
+        except AnalysisException:  # first batch: no output yet
             fresh = batch
         # one row per new hash within the batch too (first url wins
         # deterministically by min url — reference first-wins analog)
         w = Window.partitionBy("content_hash").orderBy("url")
         fresh = fresh.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        fresh.write.mode("append").parquet(output_dir)
+        fresh.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     return (
         extracted.writeStream.outputMode("append")

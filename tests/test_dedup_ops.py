@@ -77,6 +77,19 @@ def test_first_pass_wins(spark):
     assert merged == {("a", "b"): "exact", ("c", "d"): "minhash"}
 
 
+def test_unmapped_method_ranks_last(spark):
+    """A method string absent from PASS_PRIORITY must LOSE ties, not
+    null-sort first and silently outrank 'exact'."""
+    exact = spark.createDataFrame(
+        [("a", "b", 1.0, "exact")], "url1 string, url2 string, score double, method string"
+    )
+    mystery = spark.createDataFrame(
+        [("a", "b", 1.0, "experimental")], "url1 string, url2 string, score double, method string"
+    )
+    merged = {(r["url1"], r["url2"]): r["method"] for r in union_first_wins(mystery, exact).collect()}
+    assert merged == {("a", "b"): "exact"}
+
+
 def test_canonicalize(spark):
     p = spark.createDataFrame([("z", "a", 0.9, "minhash"), ("a", "a", 1.0, "exact")], "url1 string, url2 string, score double, method string")
     got = canonicalize_pairs(p).collect()

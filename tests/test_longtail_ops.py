@@ -63,6 +63,34 @@ def test_parse_bates(spark, ref_docs):
     assert got["doc-4"][0] in ("XYZ", None)  # two doc-4 rows; one malformed
 
 
+def test_parse_bates_edge_cases(spark):
+    """Reversed ranges normalize from the ORIGINAL bounds; dash-less
+    single Bates values parse as (prefix, n, n); a mismatched second
+    prefix is unparsable (reference dedup.py:53-78 semantics)."""
+    docs = spark.createDataFrame(
+        [("r1", "EFTA00456-EFTA00123"), ("r2", "EFTA00123"),
+         ("r3", "EFTA1-ABCD2"), ("r4", "EFTA00100-00200")],
+        "id string, batesRange string",
+    )
+    got = {r["id"]: (r["bates_prefix"], r["bates_lo"], r["bates_hi"])
+           for r in parse_bates(docs).collect()}
+    assert got["r1"] == ("EFTA", 123, 456)  # swap, not self-clobber [123,123]
+    assert got["r2"] == ("EFTA", 123, 123)
+    assert got["r3"] == (None, None, None)
+    assert got["r4"] == ("EFTA", 100, 200)
+
+
+def test_invalid_dates_bad_day(spark):
+    """Regex-valid but impossible day must be FLAGGED, not raise
+    SparkDateTimeException under ANSI mode."""
+    docs = spark.createDataFrame(
+        [("g1", "2020-02-29"), ("b1", "2020-02-31"), ("b2", "2021-02-29")],
+        "id string, date string",
+    )
+    bad = {r["id"]: r["reason"] for r in invalid_dates(docs).collect()}
+    assert bad == {"b1": "bad_day", "b2": "bad_day"}
+
+
 def test_bates_overlap(spark, ref_docs):
     """Reference tests/test_dedup.py:73-92: overlapping ranges pair."""
     pairs = {(r["url1"], r["url2"]) for r in bates_overlap_pairs(ref_docs).collect()}
