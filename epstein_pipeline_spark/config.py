@@ -58,7 +58,9 @@ class DedupConfig:
     cc_max_iters: int = 50
 
     # -- misc --
-    salt_buckets: int = 8  # salting factor for hot host-domain keys
+    salt_buckets: int = 8  # CC star-join hot-root salting factor
+    # (operators/cc.py::_salted_join — the north rule's salted keys for
+    # host-domain / mega-cluster skew; 1 disables)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -517,27 +517,52 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey % 61 <> 0)
 # ---------------------------------------------------------------------------
 
 def q_timeline_search(spark, sf):
-    """J9: timeline search — range + type filter, multi-key order,
-    limit (reference neon_schema.py:425-466)."""
+    """J9: timeline search — range + type filter + participant
+    array-membership + LEFT JOIN documents for the title, ordered
+    date ASC / confidence DESC, limit (reference neon_schema.py:425-466:
+    ``participant = ANY(te.participants)`` and
+    ``LEFT JOIN documents d ON d.id = te.document_id``)."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 4).alias("confidence"),
+        F.array(
+            F.concat(F.lit("p"), (F.col("user_id") % 97).cast("string")),
+            F.concat(F.lit("p"), ((F.col("user_id") * 7) % 97).cast("string")),
+            F.concat(F.lit("p"), (F.col("event_id") % 97).cast("string")),
+        ).alias("participants"),
+    )
+    docs = _docs(spark, sf).select(
+        F.col("doc_id"), F.substring("text", 1, 30).alias("title")
+    )
     return (
-        _t(spark, sf, "events")
-        .filter(
+        ev.filter(
             (F.col("ts") >= "2024-01-05")
             & (F.col("ts") < "2024-01-20")
             & F.col("event_type").isin("click", "error")
+            & F.array_contains("participants", "p13")
         )
-        .orderBy("ts", "event_id")
+        .join(docs, ev.user_id == docs.doc_id, "left")
+        .orderBy("ts", F.desc("confidence"), "event_id")
         .limit(100)
-        .select("event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value"))
+        .select("event_id", "ts", "user_id", "event_type", "confidence", "title")
     )
 
 
 O_TIMELINE = """
-SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
-FROM events
-WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
-  AND event_type IN ('click', 'error')
-ORDER BY ts, event_id
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type, round(value, 4) AS confidence,
+         ['p' || CAST(user_id % 97 AS VARCHAR),
+          'p' || CAST((user_id * 7) % 97 AS VARCHAR),
+          'p' || CAST(event_id % 97 AS VARCHAR)] AS participants
+  FROM events
+)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.confidence,
+       substr(d.text, 1, 30) AS title
+FROM ev e LEFT JOIN documents d ON d.doc_id = e.user_id
+WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00' AND e.ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND e.event_type IN ('click', 'error')
+  AND list_contains(e.participants, 'p13')
+ORDER BY e.ts, e.confidence DESC, e.event_id
 LIMIT 100
 """
 
@@ -915,6 +940,248 @@ def q_chunk_documents(spark, sf):
     return chunk_documents(_docs(spark, sf), id_col="doc_id", text_col="text", target_chars=200)
 
 
+def q_exact_cc_clusters_planted(spark, sf):
+    """Flagship spine, oracle-checked: exact hash-group pairs + the
+    distributed CC over the planted corpus, compared as PARTITIONS
+    (min-url labels are canonical on both engines). The full flagship
+    (``dedup_clusters_planted``) adds the pandas-UDF MinHash pass,
+    whose recall is proven against planted truth separately; this
+    query pins the SQL-expressible subset end-to-end."""
+    from epstein_pipeline_spark.operators.cc import connected_components
+    from epstein_pipeline_spark.operators.exact import exact_pairs
+
+    corpus = _planted_corpus(spark, sf)
+    pairs = exact_pairs(corpus)
+    labels = connected_components(pairs, nodes=corpus.select("url"))
+    return labels.select("url", "cluster_id")
+
+
+O_EXACT_CC_CLUSTERS = f"""
+WITH RECURSIVE docs0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS VARCHAR), '  ' || upper(text) || chr(10) FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 200000 AS VARCHAR),
+         substr(text, 1, 60) || 'q' || substr(text, 62)
+  FROM documents WHERE length(text) > 120
+), h AS (
+  SELECT url, sha256({_NORM_DUCK.format(c='text')}) AS ch FROM docs0
+), edges AS (
+  SELECT a.url AS src, b.url AS dst
+  FROM h a JOIN h b ON a.ch = b.ch AND a.url < b.url
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, comp) AS (
+  SELECT url, url FROM docs0
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS url, min(comp) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9: entity extraction
+# ---------------------------------------------------------------------------
+
+# entity sentence planted onto every document so each of the seven
+# extractors provably fires (the corpus alone contains none); the SAME
+# template renders in Spark and the DuckDB oracle
+def q_entity_extract(spark, sf):
+    """P9: regex entity extractors -> exploded entity table
+    (reference entities.py:34-63,369-384)."""
+    from epstein_pipeline_spark.operators.entities import extract_entities
+
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" Contact (212) 555-0"), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit(" or agent"), did.cast("string"),
+        F.lit("@mail.example.com re Case No. 2015-CV-"), (did % 900 + 100).cast("string"),
+        F.lit(". Wired $"), (did % 90 + 10).cast("string"),
+        F.lit(",500.00 from account #"), (did + 10000).cast("string"),
+        F.lit(" after Flight N"), (did % 900 + 100).cast("string"),
+        F.lit("JE met at "), (did % 999 + 1).cast("string"), F.lit(" Cedar Lane."),
+    )
+    aug = _docs(spark, sf).select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return extract_entities(aug)
+
+
+def _entity_oracle() -> str:
+    from epstein_pipeline_spark.operators.entities import ENTITY_PATTERNS
+
+    pats = ",\n    ".join(f"('{t}', '{p}')" for t, p in ENTITY_PATTERNS.items())
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' Contact (212) 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || ' or agent' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com re Case No. 2015-CV-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+              || '. Wired $' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              || ',500.00 from account #' || CAST(doc_id + 10000 AS VARCHAR)
+              || ' after Flight N' || CAST(doc_id % 900 + 100 AS VARCHAR)
+              || 'JE met at ' || CAST(doc_id % 999 + 1 AS VARCHAR) || ' Cedar Lane.' AS text
+  FROM documents
+), pats(entity_type, pat) AS (
+  VALUES {pats}
+)
+SELECT d.doc_id, p.entity_type, unnest(regexp_extract_all(d.text, p.pat)) AS value
+FROM d CROSS JOIN pats p
+"""
+
+
+O_ENTITY_EXTRACT = _entity_oracle()
+
+
+# ---------------------------------------------------------------------------
+# J6: entity-resolution scoring (fixed-weight Fellegi-Sunter)
+# ---------------------------------------------------------------------------
+
+_ER_FIRSTS = ["james", "mary", "john", "patricia", "robert", "jennifer",
+              "michael", "linda", "william", "elizabeth", "david", "barbara",
+              "richard", "susan", "joseph", "jessica"]
+_ER_LASTS = ["smith", "johnson", "williams", "brown", "jones", "garcia",
+             "miller", "davis", "rodriguez", "martinez", "hernandez", "lopez",
+             "gonzalez", "wilson", "anderson", "thomas"]
+
+
+def _er_persons(spark, sf):
+    """Deterministic person records from customer keys + planted typo
+    variants (custkey % 20 == 0 gets a pid+1000000 twin whose last name
+    drops its final letter)."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("pid"), F.lower(F.col("c_mktsegment")).alias("category")
+    )
+    first = F.element_at(_spark_arr(_ER_FIRSTS), (F.col("pid") % 16 + 1).cast("int"))
+    last = F.element_at(_spark_arr(_ER_LASTS), ((F.col("pid") / F.lit(16)).cast("long") % 16 + 1).cast("int"))
+    base = c.select(
+        "pid", first.alias("first_name"), last.alias("last_name"), "category"
+    )
+    variant = base.filter(F.col("pid") % 20 == 0).select(
+        (F.col("pid") + 1_000_000).alias("pid"),
+        "first_name",
+        F.col("last_name").substr(F.lit(1), F.length("last_name") - 1).alias("last_name"),
+        "category",
+    )
+    p = base.unionByName(variant)
+    return p.select(
+        "pid",
+        F.concat_ws(" ", "first_name", "last_name").alias("name"),
+        "first_name",
+        "last_name",
+        F.concat(F.substring("first_name", 1, 1), F.lit(". "), F.col("last_name")).alias("aliases"),
+        "category",
+    )
+
+
+def q_entity_resolution(spark, sf):
+    """J6: blocked JaroWinkler comparison vector -> fixed-weight
+    log-odds match probability >= 0.85
+    (reference entity_resolution.py:180-238, config.py:129)."""
+    from epstein_pipeline_spark.operators.resolution import score_person_pairs
+
+    return score_person_pairs(_er_persons(spark, sf), id_col="pid")
+
+
+def _er_oracle() -> str:
+    from epstein_pipeline_spark.operators.resolution import (
+        FS_CATEGORY_WEIGHTS,
+        FS_COMPARISONS,
+        FS_PRIOR_LOGIT2,
+    )
+
+    firsts = _duck_list(_ER_FIRSTS)
+    lasts = _duck_list(_ER_LASTS)
+    tier_sql = []
+    for col, (tiers, weights) in FS_COMPARISONS.items():
+        jw = f"round(jaro_winkler_similarity(a.{col}, b.{col}), 6)"
+        branches = " ".join(
+            f"WHEN {jw} >= {thr} THEN {w}" for thr, w in zip(tiers, weights[:-1])
+        )
+        tier_sql.append(f"CASE {branches} ELSE {weights[-1]} END")
+    tier_sql.append(
+        f"CASE WHEN a.category = b.category THEN {FS_CATEGORY_WEIGHTS[0]}"
+        f" ELSE {FS_CATEGORY_WEIGHTS[1]} END"
+    )
+    score = f"({FS_PRIOR_LOGIT2} + " + " + ".join(tier_sql) + ")"
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS pid,
+         {firsts}[CAST(c_custkey % 16 + 1 AS INT)] AS first_name,
+         {lasts}[CAST((c_custkey // 16) % 16 + 1 AS INT)] AS last_name,
+         lower(c_mktsegment) AS category
+  FROM customer
+), persons0 AS (
+  SELECT pid, first_name, last_name, category FROM base
+  UNION ALL
+  SELECT pid + 1000000, first_name,
+         substr(last_name, 1, length(last_name) - 1), category
+  FROM base WHERE pid % 20 = 0
+), p AS (
+  SELECT pid, first_name || ' ' || last_name AS name, first_name, last_name,
+         substr(first_name, 1, 1) || '. ' || last_name AS aliases, category
+  FROM persons0
+), blocked AS (
+  SELECT a.pid AS pid1, b.pid AS pid2, {score} AS s
+  FROM p a JOIN p b ON a.first_name = b.first_name AND a.pid < b.pid
+  UNION
+  SELECT a.pid AS pid1, b.pid AS pid2, {score} AS s
+  FROM p a JOIN p b ON a.last_name = b.last_name AND a.pid < b.pid
+)
+SELECT pid1, pid2, round(pow(2.0, s) / (1.0 + pow(2.0, s)), 6) AS match_probability
+FROM blocked
+WHERE round(pow(2.0, s) / (1.0 + pow(2.0, s)), 6) >= 0.85
+"""
+
+
+O_ENTITY_RESOLUTION = _er_oracle()
+
+
+# ---------------------------------------------------------------------------
+# A12: temporal-event dedup (word-overlap gate)
+# ---------------------------------------------------------------------------
+
+def q_temporal_dedup(spark, sf):
+    """A12: same (date, event_type) + >80% description word overlap ->
+    keep the higher-confidence event
+    (reference temporal_extractor.py:282-323)."""
+    from epstein_pipeline_spark.operators.temporal import dedup_events
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.col("ts").cast("date").cast("string").alias("date"),
+        "event_type",
+        F.concat(
+            F.lit("grp"), (F.col("user_id") % 25).cast("string"),
+            F.lit(" evt "), F.col("event_type"),
+        ).alias("description"),
+        F.round("value", 4).alias("confidence"),
+    )
+    return dedup_events(ev).select("event_id", "date", "event_type", "confidence")
+
+
+O_TEMPORAL_DEDUP = """
+WITH ev AS (
+  SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,
+         'grp' || CAST(user_id % 25 AS VARCHAR) || ' evt ' || event_type AS description,
+         round(value, 4) AS confidence
+  FROM events
+), toks AS (
+  SELECT *, list_distinct(string_split(lower(description), ' ')) AS w FROM ev
+), dominated AS (
+  SELECT DISTINCT a.event_id
+  FROM toks a JOIN toks b
+    ON a.date = b.date AND a.event_type = b.event_type AND a.event_id <> b.event_id
+  WHERE len(a.w) > 0 AND len(b.w) > 0
+    AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / greatest(len(a.w), len(b.w)) > 0.8
+    AND (b.confidence > a.confidence
+         OR (b.confidence = a.confidence AND b.event_id < a.event_id))
+)
+SELECT event_id, date, event_type, confidence
+FROM ev WHERE event_id NOT IN (SELECT event_id FROM dominated)
+"""
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
     "bates_overlap": q_bates_overlap,
@@ -947,6 +1214,10 @@ QUERIES = {
     "minhash_dedup_planted": q_minhash_dedup_planted,
     "simhash_dedup_planted": q_simhash_dedup_planted,
     "dedup_clusters_planted": q_dedup_clusters_planted,
+    "entity_extract": q_entity_extract,
+    "entity_resolution": q_entity_resolution,
+    "temporal_dedup": q_temporal_dedup,
+    "exact_cc_clusters_planted": q_exact_cc_clusters_planted,
 }
 
 ORACLES = {
@@ -977,6 +1248,10 @@ ORACLES = {
     "running_value": O_RUNNING_VALUE,
     "semantic_topk": O_SEMANTIC_TOPK,
     "cosine_pairs": O_COSINE_PAIRS,
+    "entity_extract": O_ENTITY_EXTRACT,
+    "entity_resolution": O_ENTITY_RESOLUTION,
+    "temporal_dedup": O_TEMPORAL_DEDUP,
+    "exact_cc_clusters_planted": O_EXACT_CC_CLUSTERS,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }

@@ -29,14 +29,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _salted_join(adj: DataFrame, m: DataFrame, salt: int) -> DataFrame:
+    """adj(src, dst) ⋈ m(src, m) with the hot-key salt trick.
+
+    A mega-cluster root is a single src key carrying the whole
+    component's adjacency — one shuffle partition does all its work.
+    Salting splits the BIG side by hash(dst) into ``salt`` sub-keys and
+    replicates the tiny min-label side across them (the groupBy
+    producing ``m`` itself is safe: min() partial-aggregates map-side),
+    so the hub's rows spread over ``salt`` tasks. This is the explicit
+    salted-keys handling the north rule names; AQE skew-join remains
+    the runtime backstop for skew the salt factor underestimates.
+    """
+    if salt <= 1:
+        return adj.join(m, "src")
+    salted = adj.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt)))
+    replicated = m.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted.join(replicated, ["src", "_salt"]).drop("_salt")
+
+
+def _large_star(edges: DataFrame, salt: int = 1) -> DataFrame:
     """edges: (src, dst) symmetric. Emit (v, m) for v > u."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
     return (
-        sym.join(m, "src")
+        _salted_join(sym, m, salt)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -44,13 +65,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, salt: int = 1) -> DataFrame:
     """edges oriented (src > dst). Emit (v, m) for v in N-(u) ∪ {u}."""
     down = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     m = down.groupBy("src").agg(F.min("dst").alias("m"))
-    j = down.join(m, "src")
+    j = _salted_join(down, m, salt)
     to_nbrs = j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     to_self = j.select("src", F.col("m").alias("dst")).distinct()
     return (
@@ -73,13 +94,16 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iters: int = 50,
     checkpoint_every: int = 3,
-    loop_shuffle_partitions: int | None = 32,
+    loop_shuffle_partitions: int | None = None,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Label pairs' transitive closure: returns (url, cluster_id) where
     cluster_id = min url in the component.
 
     ``pairs`` needs columns url1/url2. If ``nodes`` (one column url) is
     given, singletons get cluster_id = their own url.
+    ``salt_buckets > 1`` salts the star joins' hot root keys
+    (host-domain / mega-cluster skew — see ``_salted_join``).
 
     The edge list is orders of magnitude smaller than the corpus, so
     the loop runs at ``loop_shuffle_partitions`` (task-launch latency
@@ -89,10 +113,15 @@ def connected_components(
     """
     spark = pairs.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    if loop_shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
+    if loop_shuffle_partitions is None:
+        # tiny-loop default: a handful of tasks per core — at 32+
+        # partitions the per-round task-launch latency dominates the
+        # (small) edge shuffles and the loop becomes a fixed driver
+        # floor that never scales with cores
+        loop_shuffle_partitions = max(8, 2 * spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
     try:
-        return _cc_loop(pairs, nodes, max_iters, checkpoint_every)
+        return _cc_loop(pairs, nodes, max_iters, checkpoint_every, salt_buckets)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
@@ -102,6 +131,7 @@ def _cc_loop(
     nodes: DataFrame | None,
     max_iters: int,
     checkpoint_every: int,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     edges = pairs.select(F.col("url1").alias("src"), F.col("url2").alias("dst")).filter(
         F.col("src") != F.col("dst")
@@ -109,10 +139,14 @@ def _cc_loop(
 
     prev = None
     for it in range(max_iters):
-        edges = _small_star(_large_star(edges))
-        # the digest below is an action anyway; localCheckpoint on the
-        # same pass truncates lineage before the next round's joins
-        edges = edges.localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges, salt_buckets), salt_buckets)
+        # LAZY localCheckpoint: the digest action right below both
+        # materializes the checkpoint and computes the convergence
+        # digest in ONE job per round (eager=True would run a separate
+        # materialization job first — doubling the loop's fixed
+        # per-round job-scheduling cost, which does not shrink with
+        # more cores)
+        edges = edges.localCheckpoint(eager=False)
         cur = _digest(edges)
         if cur == prev:
             break

@@ -46,7 +46,7 @@ def cosine_pairs_brute(
     )
 
 
-def make_rhp_udf(dim: int, n_bits: int = 16, n_tables: int = 8, seed: int = 7):
+def make_rhp_udf(dim: int | None = None, n_bits: int = 16, n_tables: int = 8, seed: int = 7):
     """pandas UDF: embedding -> array<long> of n_tables sign-bucket ids.
 
     Each table hashes the vector against n_bits random hyperplanes; two
@@ -54,13 +54,25 @@ def make_rhp_udf(dim: int, n_bits: int = 16, n_tables: int = 8, seed: int = 7):
     (1 - theta/pi)^n_bits — for cosine 0.95 (theta~18deg) and 16 bits,
     ~0.19 per table, ~81% over 8 tables; verification is exact so
     missed pairs are the only recall cost. Bits/tables are tunable.
+
+    ``dim=None`` infers the dimension from the first Arrow batch ON THE
+    EXECUTOR — the seeded RNG makes every worker derive identical
+    hyperplanes, so no driver-side ``.first()`` probe (a full job just
+    to read one row) is ever needed.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_bits, dim))
+    state: dict[str, np.ndarray] = {}
+    if dim is not None:
+        state["planes"] = np.random.RandomState(seed).normal(size=(n_tables, n_bits, dim))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def rhp_buckets(embs: pd.Series) -> pd.Series:
         mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, dim)
+        planes = state.get("planes")
+        if planes is None:
+            planes = np.random.RandomState(seed).normal(
+                size=(n_tables, n_bits, mat.shape[1])
+            )
+            state["planes"] = planes
         out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         for t in range(n_tables):
@@ -81,29 +93,42 @@ def cosine_pairs_rhp(
     bucket_cap: int = 2000,
 ) -> DataFrame:
     """LSH-bucketed cosine pair join: candidates from sign-bucket
-    collisions, exact cosine verify >= threshold."""
-    dim = len(embs.select(vec_col).first()[0])
-    udf = make_rhp_udf(dim, n_bits, n_tables)
+    collisions, exact cosine verify >= threshold.
+
+    Shuffle shape (the round-1 finding): bucket member structs carry
+    IDS ONLY — the float vector never rides through the n_tables band
+    explosion (that shuffled 8-16 copies of every embedding). One
+    groupBy produces candidate pairs via the same JVM-side
+    ``bucket_pairs_expr`` as the text LSH pass (no sizes-join +
+    self-join cascade), and vectors join back onto the (sublinear)
+    candidate set for the exact verify. Oversized buckets degrade to
+    chain+star edges instead of being dropped — strictly better recall
+    than the old ``_bsz <= cap`` filter at the same O(n) edge cost.
+    """
+    from epstein_pipeline_spark.operators.lsh import bucket_pairs_expr
+
+    udf = make_rhp_udf(None, n_bits, n_tables)
     e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
         "_buckets", udf("_v")
     )
-    bands = e.select("_id", "_v", F.posexplode("_buckets").alias("table_i", "bucket"))
-    sizes = bands.groupBy("table_i", "bucket").agg(F.count("*").alias("_bsz"))
-    bands = bands.join(sizes, ["table_i", "bucket"]).filter(F.col("_bsz") <= bucket_cap)
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = e.select("_id", F.posexplode("_buckets").alias("table_i", "bucket"))
+    buckets = (
+        bands.groupBy("table_i", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("_id"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
     cands = (
-        a.join(b, ["table_i", "bucket"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("a._v").alias("_v1"),
-            F.col("b._id").alias("id2"),
-            F.col("b._v").alias("_v2"),
-        )
+        buckets.select(F.explode(bucket_pairs_expr(F.col("_ms"), bucket_cap)).alias("p"))
+        .select(F.col("p.a._id").alias("id1"), F.col("p.b._id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    v = embs.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    joined = (
+        cands.join(v.withColumnRenamed("_vid", "id1").withColumnRenamed("_vv", "_v1"), "id1")
+        .join(v.withColumnRenamed("_vid", "id2").withColumnRenamed("_vv", "_v2"), "id2")
+    )
     return (
-        cands.withColumn("score", cosine_expr(F.col("_v1"), F.col("_v2")))
+        joined.withColumn("score", cosine_expr(F.col("_v1"), F.col("_v2")))
         .filter(F.col("score") >= threshold)
         .select("id1", "id2", F.round("score", 6).alias("score"), F.lit("semantic").alias("method"))
     )

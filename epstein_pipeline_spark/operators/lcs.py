@@ -31,17 +31,35 @@ from epstein_pipeline_spark.config import DedupConfig
 _B = np.uint64(1_000_003)
 
 
+# B is odd, so it is invertible mod 2^64; _INV_B * _B == 1 (mod 2^64)
+_INV_B = np.uint64(pow(int(_B), -1, 1 << 64))
+
+
 def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
-    """uint64 hashes of every length-k window (mod 2^64)."""
-    if data.shape[0] < k:
+    """uint64 polynomial hashes of every length-k window (mod 2^64).
+
+    O(n) per call via prefix sums: with c[i] = a[i] * B^(n-1-i) and
+    S its exclusive prefix sum, the canonical window hash
+    w[i] = sum a[i+j] * B^(k-1-j) satisfies
+    (S[i+k] - S[i]) = B^(n-k-i) * w[i], so w[i] recovers by one
+    elementwise multiply with precomputed inverse powers — the naive
+    (n,k) windowed multiply is O(n*k) and made the LCS binary search
+    quadratic in text length."""
+    n = data.shape[0]
+    if n < k:
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        powers = np.empty(k, dtype=np.uint64)
-        powers[k - 1] = np.uint64(1)
-        for j in range(k - 2, -1, -1):
-            powers[j] = powers[j + 1] * _B
-        win = np.lib.stride_tricks.sliding_window_view(data, k)
-        return (win * powers).sum(axis=1, dtype=np.uint64)
+        # powers[j] = B^j, inv_powers[j] = B^-j (mod 2^64), j in [0, n]
+        powers = np.empty(n + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=powers[1:])
+        inv_powers = np.empty(n + 1, dtype=np.uint64)
+        inv_powers[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(n, _INV_B, dtype=np.uint64), out=inv_powers[1:])
+        c = data * powers[::-1][1:]  # a[i] * B^(n-1-i)
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.add.accumulate(c, out=s[1:])
+        return (s[k:] - s[: n - k + 1]) * inv_powers[: n - k + 1][::-1]
 
 
 def py_lcs_length(s1: str, s2: str) -> int:
@@ -86,9 +104,16 @@ def lcs_verify(
     t = docs.select(
         F.col(id_col).alias("url"), F.substring(F.col(text_col), 1, cfg.lcs_max_chars).alias("_t")
     )
+    # explicit round-robin repartition before the compute-bound UDF:
+    # the joined pair set is small in BYTES, so AQE's coalescing packs
+    # it into one or two partitions and the per-pair LCS work — the
+    # actual cost — serializes onto one core. An explicit partition
+    # count is exempt from AQE coalescing.
+    nparts = docs.sparkSession.sparkContext.defaultParallelism * 2
     joined = (
         pairs.join(t.withColumnRenamed("url", "url1").withColumnRenamed("_t", "_t1"), "url1")
         .join(t.withColumnRenamed("url", "url2").withColumnRenamed("_t", "_t2"), "url2")
+        .repartition(nparts)
     )
     min_ratio = cfg.lcs_min_ratio
     out_schema = ", ".join(

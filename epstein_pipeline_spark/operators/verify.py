@@ -46,10 +46,21 @@ def exact_jaccard_pairs(
         min_keep = cfg.lcs_gray_low
     k = cfg.shingle_k
     t = docs.select(F.col(id_col).alias("url"), normalize_text_expr(text_col).alias("_t"))
+    # explicit hash-repartition on url1 before the UDF, for two
+    # reasons: (a) candidate pairs are chain+star shaped (one hub url1
+    # fans out to many url2s), so url1-clustering makes the
+    # per-partition shingle cache hit on the repeated side instead of
+    # recomputing the hub's shingles in every partition the pairs
+    # scattered to; (b) the pair set is small in BYTES but heavy in
+    # per-row compute, and AQE's byte-based coalescing would otherwise
+    # pack it into one partition and serialize the work (explicit
+    # partition counts are exempt from coalescing).
+    nparts = docs.sparkSession.sparkContext.defaultParallelism * 2
     joined = (
         cand.select("url1", "url2")
-        .join(t.withColumnRenamed("url", "url1").withColumnRenamed("_t", "_t1"), "url1")
         .join(t.withColumnRenamed("url", "url2").withColumnRenamed("_t", "_t2"), "url2")
+        .join(t.withColumnRenamed("url", "url1").withColumnRenamed("_t", "_t1"), "url1")
+        .repartition(nparts, "url1")
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

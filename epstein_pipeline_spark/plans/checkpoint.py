@@ -75,9 +75,12 @@ class StageStore:
         out_dir = self._stage_dir(stage) / f"snapshot-{snap_id}"
         df.write.mode("overwrite").parquet(str(out_dir))
 
-        spark = df.sparkSession
         # per-partition lineage from parquet footers — driver-side
-        # metadata reads, no extra Spark job per commit
+        # metadata reads AND a driver-side pyarrow write: committing
+        # lineage must not cost a Spark job per stage (9 stages x
+        # ~0.5-1 s of job-scheduling floor is pure fixed cost that
+        # erodes scaling efficiency at every cluster size)
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         now = time.time()
@@ -93,8 +96,20 @@ class StageStore:
             lineage_rows.append((stage, snap_id, i, int(n), int(sz), now))
         if not lineage_rows:
             lineage_rows = [(stage, snap_id, -1, 0, 0, now)]
-        ldf = spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA)
-        ldf.coalesce(1).write.mode("append").parquet(str(self.root / "_lineage"))
+        ldir = self.root / "_lineage"
+        ldir.mkdir(exist_ok=True)
+        cols = list(zip(*lineage_rows))
+        ltable = pa.table(
+            {
+                "stage": pa.array(cols[0], pa.string()),
+                "snapshot": pa.array(cols[1], pa.int32()),
+                "partition_id": pa.array(cols[2], pa.int32()),
+                "rows_out": pa.array(cols[3], pa.int64()),
+                "approx_bytes": pa.array(cols[4], pa.int64()),
+                "committed_at": pa.array(cols[5], pa.float64()),
+            }
+        )
+        pq.write_table(ltable, ldir / f"lineage-{uuid.uuid4().hex}.parquet")
 
         manifest = {
             "stage": stage,

@@ -104,7 +104,10 @@ def run_dedup(
             normalize_text_expr("text").alias("text"),
         ).withColumn("content_hash", content_hash_expr("text"))
 
-    n_docs = docs.count()
+    # doc count from the committed manifest when available (free —
+    # no extra Spark job); count() only on the uncommitted path
+    m = store.latest("extract") if use_extracted else None
+    n_docs = m["rows"] if m is not None else docs.count()
 
     # 2. exact pass (hash-group star pairs)
     p_exact = staged("pairs_exact", lambda: exact_pairs(docs), {"docs_in": n_docs})
@@ -121,9 +124,15 @@ def run_dedup(
 
         mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
         sh_udf = make_simhash_udf()
+        # even round-robin repartition before the (dominant) signature
+        # UDF: input splits are byte-sized off parquet files and leave
+        # a ragged tail wave; one cheap shuffle of the normalized text
+        # buys evenly-loaded workers for the most expensive stage
+        nparts = spark.sparkContext.defaultParallelism * 4
         return (
             docs.filter(F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len))
             .select("url", normalize_text_expr("text").alias("_norm"), F.length("text").alias("_len"))
+            .repartition(nparts)
             .withColumn("sig", mh_udf("_norm"))
             .withColumn("simhash", sh_udf("_norm"))
             .select("url", "_len", "sig", "simhash")
@@ -133,28 +142,36 @@ def run_dedup(
     mh_sigs = all_sigs.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
     sh_sigs = all_sigs.filter(F.col("_len") > cfg.simhash_min_len).select("url", "simhash")
 
-    # 3b. MinHash/LSH: band-join candidates, pre-filtered by the cheap
-    # signature estimate (wide margin), then EXACT shingle-Jaccard
-    # verified; split into accepted (>= threshold) and the gray zone
-    # that the LCS stage re-examines (boilerplate-wrapped dups)
-    def build_minhash_scored() -> DataFrame:
+    # 3b. MinHash/LSH candidate edges: band-join candidates scored by
+    # the cheap signature estimate (wide margin below the gray zone).
+    # Committed as their OWN checkpoint — the north rule requires
+    # candidate-pair edges on durable storage, and reading the snapshot
+    # back replaces the round-1 eager localCheckpoint barrier (whose
+    # block-manager materialization was the anti-scaling stage: both
+    # consumers now read cheap parquet instead of a driver-fenced
+    # in-memory copy).
+    def build_candidates() -> DataFrame:
         cands = candidate_pairs_from_bands(band_rows(mh_sigs, cfg), cfg)
-        est = score_candidates(cands, mh_sigs, cfg).filter(
+        return score_candidates(cands, mh_sigs, cfg).filter(
             F.col("score") >= cfg.lcs_gray_low - 0.10  # estimator margin
         )
-        # both branches below consume `est`; materialize once or the
-        # whole band-join subtree is computed twice
-        est = est.localCheckpoint(eager=True)
-        # exact shingle-Jaccard arbitration is only needed NEAR the
-        # threshold: at est >= 0.9 the 128-perm estimator's miss
-        # probability for true J < 0.8 is ~Phi(-3.5) — accept directly.
-        # This keeps dense exact-dup cliques (already caught by the
-        # exact pass anyway) out of the O(pairs * text) verify.
+
+    est = staged("minhash_candidates", build_candidates)
+    n_cand = (store.latest("minhash_candidates") or {}).get("rows", 0)
+
+    # 3c. exact shingle-Jaccard arbitration is only needed NEAR the
+    # threshold: at est >= 0.9 the 128-perm estimator's miss
+    # probability for true J < 0.8 is ~Phi(-3.5) — accept directly.
+    # This keeps dense exact-dup cliques (already caught by the
+    # exact pass anyway) out of the O(pairs * text) verify.
+    def build_minhash_scored() -> DataFrame:
         high = est.filter(F.col("score") >= 0.90)
         near = est.filter(F.col("score") < 0.90)
         return high.unionByName(exact_jaccard_pairs(near, docs, cfg))
 
-    mh_scored = staged("minhash_scored", build_minhash_scored)
+    mh_scored = staged(
+        "minhash_scored", build_minhash_scored, {"pairs_in": n_cand}
+    )
     p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(
         "method", F.lit("minhash")
     )
@@ -185,6 +202,7 @@ def run_dedup(
         lambda: connected_components(
             pairs, nodes=docs.select("url"),
             max_iters=cfg.cc_max_iters, checkpoint_every=cfg.cc_checkpoint_every,
+            salt_buckets=cfg.salt_buckets,
         ),
     )
 

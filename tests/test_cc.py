@@ -52,3 +52,20 @@ def test_long_path_converges(spark):
     # star rounds, not O(n)
     edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(40)]
     _check(spark, edges)
+
+
+def test_salted_cc_matches_union_find(spark):
+    """salt_buckets > 1 (the north rule's hot-key salting) must not
+    change labels: a mega-hub star + chain + random edges."""
+    rng = np.random.RandomState(23)
+    nodes = [f"m{i:03d}" for i in range(80)]
+    edges = [("m000", n) for n in nodes[1:40]]  # hub skew
+    edges += [(nodes[i], nodes[i + 1]) for i in range(40, 79)]  # chain
+    edges += [(nodes[rng.randint(0, 80)], nodes[rng.randint(0, 80)]) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "url1 string, url2 string")
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(pairs, salt_buckets=8).collect()
+    }
+    assert got == py_union_find(edges)

@@ -96,6 +96,7 @@ def test_lineage_covers_all_stages(spark, result):
         "extract",
         "pairs_exact",
         "signatures",
+        "minhash_candidates",
         "minhash_scored",
         "pairs_simhash",
         "pairs",

@@ -92,3 +92,34 @@ def test_band_candidates_single_shuffle(spark, pages):
     # section; count the detail headers "(n) Exchange"
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{p}"
+
+
+def test_rhp_candidates_single_shuffle(spark):
+    """RHP candidate generation must be the single-shuffle groupBy +
+    JVM pair expansion with IDS ONLY (the round-1 finding: the float
+    vector rode through the n_tables band explosion and a sizes-join +
+    self-join cascade added 3 extra shuffles)."""
+    import re
+
+    from epstein_pipeline_spark.operators.embed_pass import make_rhp_udf
+    from epstein_pipeline_spark.operators.lsh import bucket_pairs_expr
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    udf = make_rhp_udf(None, 16, 8)
+    e = embs.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")).withColumn(
+        "_buckets", udf("_v")
+    )
+    bands = e.select("_id", F.posexplode("_buckets").alias("table_i", "bucket"))
+    buckets = (
+        bands.groupBy("table_i", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("_id"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+    cands = buckets.select(F.explode(bucket_pairs_expr(F.col("_ms"), 2000)).alias("p")).select(
+        F.col("p.a._id").alias("id1"), F.col("p.b._id").alias("id2")
+    )
+    p = plan(cands)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 1, f"{n_exchanges} exchanges:\n{p}"
+    # the embedding column must NOT survive into the exploded band rows
+    assert "_v" not in re.sub(r"_buckets|_vv|_v1|_v2", "", p.split("Exchange", 1)[1])
