@@ -171,12 +171,24 @@ def main() -> None:
     queries = run_queries(spark, SF_DIR)
     spark.stop()
 
-    # 2. dedup scaling: local[8] vs local[CPUS] on the same input
+    # 2. dedup scaling at CORES_LO vs CORES_HI on the same input
     corpus_path = corpus_parquet(BENCH_PAGES)
-    # min-of-N per level: the sandbox host has sporadic multi-second
-    # hiccups; min is the steady-state estimator
-    runs_lo = [dedup_subprocess(CORES_LO, corpus_path) for _ in range(BENCH_REPEATS_LO)]
-    runs_hi = [dedup_subprocess(CORES_HI, corpus_path) for _ in range(BENCH_REPEATS_HI)]
+    # min-of-N per level, with the levels INTERLEAVED (lo,hi,hi,lo):
+    # the host drifts slower over a session (~10%/hour observed), so
+    # running all-lo-then-all-hi systematically penalizes whichever
+    # level goes last; alternating centers both levels on the same
+    # host era. min is the steady-state estimator against the
+    # sporadic multi-second hiccups.
+    order = []
+    for i in range(max(BENCH_REPEATS_LO, BENCH_REPEATS_HI)):
+        pair = [CORES_LO, CORES_HI] if i % 2 == 0 else [CORES_HI, CORES_LO]
+        order.extend(
+            c for c in pair
+            if (c == CORES_LO and i < BENCH_REPEATS_LO) or (c == CORES_HI and i < BENCH_REPEATS_HI)
+        )
+    runs_lo, runs_hi = [], []
+    for c in order:
+        (runs_lo if c == CORES_LO else runs_hi).append(dedup_subprocess(c, corpus_path))
     t_lo, n, stages_lo = min(runs_lo, key=lambda r: r[0])
     t_hi, _, stages_hi = min(runs_hi, key=lambda r: r[0])
     tput_lo, tput_hi = n / t_lo, n / t_hi

@@ -189,16 +189,22 @@ def _stopword_ratio(tokens: Column, words: list[str]) -> Column:
 
 def lang_id_expr(col: Column | str) -> Column:
     """Heuristic language ID: distinct-stopword hit ratio per language,
-    argmax, 'und' (undetermined) when nothing matched."""
+    argmax, 'und' (undetermined) when nothing matched.
+
+    Score ties resolve in _STOPWORDS declaration order (en >= de >= fr)
+    — the same first-wins CASE semantics as the ★lang_id oracle query;
+    max-struct ordering would instead pick the lexicographically-last
+    language name on ties."""
     tokens = word_tokens_expr(col)
-    scored = F.array(
-        *[
-            F.struct(_stopword_ratio(tokens, ws).alias("score"), F.lit(lang).alias("lang"))
-            for lang, ws in _STOPWORDS.items()
-        ]
-    )
-    best = F.array_max(scored)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ratios = [(lang, _stopword_ratio(tokens, ws)) for lang, ws in _STOPWORDS.items()]
+    guess = F.lit(ratios[-1][0])
+    for i in range(len(ratios) - 2, -1, -1):
+        lang, score = ratios[i]
+        later = [s for _, s in ratios[i + 1 :]]
+        later_max = later[0] if len(later) == 1 else F.greatest(*later)
+        guess = F.when(score >= later_max, F.lit(lang)).otherwise(guess)
+    best = F.greatest(*[s for _, s in ratios]) if len(ratios) > 1 else ratios[0][1]
+    return F.when(best > 0, guess).otherwise(F.lit("und"))
 
 
 def quality_score_expr(col: Column | str) -> Column:

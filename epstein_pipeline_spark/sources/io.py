@@ -129,3 +129,129 @@ def write_jdbc(df: DataFrame, url: str, table: str, batch_size: int = 500, **opt
         .mode("append")
         .save()
     )
+
+
+# ---------------------------------------------------------------------------
+# S8: SQLite sink with FTS5 (reference exporters/sqlite_export.py)
+# ---------------------------------------------------------------------------
+
+_SQLITE_SCHEMA = """
+CREATE TABLE IF NOT EXISTS documents (
+    id            TEXT PRIMARY KEY,
+    title         TEXT NOT NULL,
+    date          TEXT,
+    source        TEXT NOT NULL,
+    category      TEXT,
+    summary       TEXT,
+    page_count    INTEGER,
+    bates_range   TEXT,
+    ocr_text      TEXT,
+    tags          TEXT
+);
+CREATE TABLE IF NOT EXISTS document_persons (
+    document_id  TEXT NOT NULL REFERENCES documents(id),
+    person_id    TEXT NOT NULL,
+    PRIMARY KEY (document_id, person_id)
+);
+CREATE TABLE IF NOT EXISTS extracted_entities (
+    id           INTEGER PRIMARY KEY AUTOINCREMENT,
+    document_id  TEXT NOT NULL,
+    entity_type  TEXT NOT NULL,
+    text         TEXT NOT NULL
+);
+CREATE INDEX IF NOT EXISTS idx_documents_date   ON documents(date);
+CREATE INDEX IF NOT EXISTS idx_documents_source ON documents(source);
+CREATE INDEX IF NOT EXISTS idx_entities_doc     ON extracted_entities(document_id);
+CREATE INDEX IF NOT EXISTS idx_entities_type    ON extracted_entities(entity_type);
+CREATE VIRTUAL TABLE IF NOT EXISTS documents_fts USING fts5(
+    title, summary, ocr_text, content='documents', content_rowid='rowid'
+);
+CREATE TRIGGER IF NOT EXISTS documents_ai AFTER INSERT ON documents BEGIN
+    INSERT INTO documents_fts(rowid, title, summary, ocr_text)
+    VALUES (new.rowid, new.title, new.summary, new.ocr_text);
+END;
+CREATE TRIGGER IF NOT EXISTS documents_ad AFTER DELETE ON documents BEGIN
+    INSERT INTO documents_fts(documents_fts, rowid, title, summary, ocr_text)
+    VALUES ('delete', old.rowid, old.title, old.summary, old.ocr_text);
+END;
+"""
+
+
+def write_sqlite(
+    docs: DataFrame,
+    db_path: str,
+    entities: DataFrame | None = None,
+    doc_persons: DataFrame | None = None,
+    batch_size: int = 500,
+) -> None:
+    """S8: SQLite + FTS5 export (reference exporters/sqlite_export.py:
+    31-161, batch inserts :200-257).
+
+    SQLite is a single-file driver-side sink by nature — the reference
+    writes one .db artifact and so do we. Rows stream to the driver
+    via ``toLocalIterator`` (one partition in memory at a time, never
+    a full ``collect``) and insert in ``batch_size`` executemany
+    batches inside one transaction; FTS5 stays in sync through the
+    reference's AFTER INSERT/DELETE triggers. Scale intent: this sink
+    is for cluster/report-sized outputs, not the corpus — exporting
+    100 TB to SQLite is a category error the docstring refuses.
+
+    docs needs (id, title, date, source, category, summary, pageCount,
+    batesRange, tags:array<string>, ocrText) — extra columns ignored.
+    """
+    import sqlite3
+
+    sel = docs.select(
+        F.col("id"), F.col("title"), F.col("date"), F.col("source"),
+        F.col("category"), F.col("summary"),
+        F.col("pageCount").alias("page_count"),
+        F.col("batesRange").alias("bates_range"),
+        F.col("ocrText").alias("ocr_text"),
+        F.concat_ws(";", F.col("tags")).alias("tags"),
+    )
+    con = sqlite3.connect(db_path)
+    try:
+        con.executescript(_SQLITE_SCHEMA)
+        def insert_stream(df, sql):
+            batch = []
+            for row in df.toLocalIterator():
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    con.executemany(sql, batch)
+                    batch.clear()
+            if batch:
+                con.executemany(sql, batch)
+
+        insert_stream(sel, "INSERT OR REPLACE INTO documents VALUES (?,?,?,?,?,?,?,?,?,?)")
+        if entities is not None:
+            insert_stream(
+                entities.select("doc_id", "entity_type", "value"),
+                "INSERT INTO extracted_entities(document_id, entity_type, text) VALUES (?,?,?)",
+            )
+        if doc_persons is not None:
+            insert_stream(
+                doc_persons.select("document_id", "person_id"),
+                "INSERT OR REPLACE INTO document_persons VALUES (?,?)",
+            )
+        con.commit()
+    finally:
+        con.close()
+
+
+def fts_search(db_path: str, query: str, limit: int = 20) -> list[tuple]:
+    """FTS5 ranked search over the exported db (reference
+    sqlite_export.py:257 surface): (id, title, bm25 rank)."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        return con.execute(
+            """
+            SELECT d.id, d.title, bm25(documents_fts) AS rank
+            FROM documents_fts f JOIN documents d ON d.rowid = f.rowid
+            WHERE documents_fts MATCH ? ORDER BY rank LIMIT ?
+            """,
+            (query, limit),
+        ).fetchall()
+    finally:
+        con.close()

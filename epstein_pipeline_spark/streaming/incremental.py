@@ -91,3 +91,76 @@ def host_throughput(spark: SparkSession, input_dir: str):
         .groupBy(F.window("warc_ts", "1 minute"), "host")
         .agg(F.count("*").alias("pages"))
     )
+
+
+def stateful_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_ms: int | None = None,
+):
+    """Custom stateful streaming dedup via ``applyInPandasWithState``:
+    one GroupState per content_hash remembers whether the hash was
+    emitted; only the first arrival (min url within the microbatch for
+    determinism) passes through.
+
+    Contrast with ``incremental_dedup_ingest``'s foreachBatch
+    anti-join: that one re-reads the output (O(history) per batch,
+    right shape when history lives in a table you MERGE into); this
+    one keeps the seen-set in the streaming state store (RocksDB on a
+    real cluster) — O(batch) per batch, state sized to distinct
+    hashes. ``timeout_ms`` > 0 expires idle hash state (bounded-state
+    mode: dedup within the retention horizon only).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    hashed = stream.select(
+        "url",
+        "warc_ts",
+        "lang",
+        clean_ocr_noise_expr(extract_text_expr("html")).alias("text"),
+    ).withColumn("content_hash", content_hash_expr("text"))
+
+    out_schema = "url string, warc_ts timestamp, lang string, text string, content_hash string"
+
+    def dedup_group(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import pandas as pd
+
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values("url").iloc[:1]
+            if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
+                best = cand
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        state.update((True,))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        if best is not None:
+            yield best
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms else GroupStateTimeout.NoTimeout
+    )
+    deduped = hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

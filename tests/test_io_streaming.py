@@ -40,6 +40,39 @@ def test_csv_export_projection(spark, tmp_path):
     assert "ocrText" not in back.asDict()  # excluded (cli.py:766)
 
 
+def test_sqlite_fts_sink(spark, tmp_path):
+    """S8: SQLite export with live FTS5 (reference sqlite_export.py):
+    insert-trigger sync, MATCH search, entities table."""
+    from epstein_pipeline_spark.sources.io import fts_search, write_sqlite
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "Flight Logs 2002", "2002-11-01", "court", "logs", "flights to the island",
+             3, "A1-A2", ["t1"], "tail number N908JE listed"),
+            ("d2", "Deposition Smith", "2015-01-10", "court", "depo", "witness statement",
+             9, None, [], "nothing about aircraft here"),
+        ],
+        "id string, title string, date string, source string, category string, "
+        "summary string, pageCount int, batesRange string, tags array<string>, ocrText string",
+    )
+    ents = spark.createDataFrame(
+        [("d1", "FLIGHT_ID", "N908JE")], "doc_id string, entity_type string, value string"
+    )
+    db = str(tmp_path / "export.db")
+    write_sqlite(docs, db, entities=ents, batch_size=1)
+    hits = fts_search(db, "flights")
+    assert [h[0] for h in hits] == ["d1"]
+    assert fts_search(db, "witness")[0][0] == "d2"
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM documents").fetchone()[0] == 2
+    assert con.execute(
+        "SELECT text FROM extracted_entities WHERE entity_type = 'FLIGHT_ID'"
+    ).fetchone()[0] == "N908JE"
+    con.close()
+
+
 def test_pages_roundtrip_and_cluster_sink(spark, pages, tmp_path):
     p = tmp_path / "pages"
     pages.write.parquet(str(p))
@@ -120,3 +153,34 @@ def test_incremental_streaming_dedup(spark, tmp_path):
     # every content hash appears exactly once
     dup_hashes = out.groupBy("content_hash").count().filter("count > 1").count()
     assert dup_hashes == 0
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState dedup: per-hash GroupState suppresses
+    re-arrivals across micro-batch runs (state survives via the
+    checkpoint), O(batch) per batch instead of re-reading history."""
+    from epstein_pipeline_spark.streaming.incremental import stateful_dedup_stream
+    from epstein_pipeline_spark.synth import generate_corpus, pages_to_spark
+
+    indir, outdir, ckpt = (tmp_path / d for d in ("sin", "sout", "sckpt"))
+    corpus = generate_corpus(n_pages=30, seed=6)
+    df = pages_to_spark(spark, corpus, partitions=2)
+    df.limit(10).write.mode("append").parquet(str(indir))
+
+    q = stateful_dedup_stream(spark, str(indir), str(outdir), str(ckpt))
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(str(outdir))
+    n1 = out1.count()
+    assert n1 > 0
+    assert out1.groupBy("content_hash").count().filter("count > 1").count() == 0
+
+    # batch 2: 5 content-repeats under new urls + 10 genuinely new pages
+    repeat = df.limit(5).withColumn("url", F.concat(F.lit("https://copy/"), F.col("url")))
+    fresh = df.orderBy("url").limit(20).subtract(df.limit(10))
+    repeat.unionByName(fresh).write.mode("append").parquet(str(indir))
+
+    q2 = stateful_dedup_stream(spark, str(indir), str(outdir), str(ckpt))
+    q2.awaitTermination(120)
+    out = spark.read.parquet(str(outdir))
+    assert out.groupBy("content_hash").count().filter("count > 1").count() == 0
+    assert out.count() > n1  # the fresh rows did land

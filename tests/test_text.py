@@ -121,6 +121,16 @@ def test_lang_id(spark):
     assert got == ["en", "de", "fr", "und"]
 
 
+def test_lang_id_tie_breaks_in_declared_order(spark):
+    """Score ties prefer en >= de >= fr — the ★lang_id oracle's CASE
+    semantics (max-struct ordering would pick 'fr' on ties)."""
+    df = spark.createDataFrame(
+        [("the le",), ("der le",), ("the der le",)], "t string"
+    )
+    got = [r[0] for r in df.select(lang_id_expr("t")).collect()]
+    assert got == ["en", "de", "en"]
+
+
 def test_quality_score_bounds(spark, pages):
     rows = pages.select(quality_score_expr("text").alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
