@@ -468,11 +468,18 @@ def q_customer_fuzzy_pairs(spark, sf):
     (reference fuzz.ratio title dedup, dedup.py:296-324)."""
     c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
     a, b = c.alias("a"), c.alias("b")
+    # threshold form of levenshtein: banded O(n*k) DP with early abort
+    # (returns -1 above the bound) instead of the O(n^2) full matrix —
+    # identical surviving rows, ~3x cheaper on the quadratic-in-block
+    # comparison volume. Finer blocking keys don't work on THIS data
+    # (every c_name shares the 'Customer#000...' prefix, so q-gram
+    # partition blocks are degenerate); the scale-path answer for real
+    # name data is operators/fuzzy_title.py's first-token blocking.
     return (
         a.join(b, "c_nationkey")
         .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .withColumn("lev", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
-        .filter(F.col("lev") <= 2)
+        .withColumn("lev", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2))
+        .filter(F.col("lev") >= 0)
         .select(
             F.col("a.c_custkey").alias("custkey1"),
             F.col("b.c_custkey").alias("custkey2"),
@@ -679,6 +686,25 @@ FROM e, q
 ORDER BY score DESC, vec_id
 LIMIT 10
 """
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN search exercised end-to-end (train -> assign -> probe),
+    run at n_probe = n_cells so the probed set is the whole corpus and
+    the result is EXACTLY the brute-force top-k — which makes the same
+    SQL oracle as semantic_topk apply. Recall at pruned n_probe is
+    covered by tests/test_embed.py::test_ivf_topk_recall_vs_brute."""
+    from epstein_pipeline_spark.operators.embed_pass import (
+        assign_ivf_cells,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cent = train_ivf_centroids(e, n_cells=16, sample_cap=5000)
+    indexed = assign_ivf_cells(e, cent)
+    return ivf_topk(indexed, cent, qv, k=10, n_probe=16)
 
 
 def q_cosine_pairs(spark, sf):
@@ -1218,6 +1244,7 @@ QUERIES = {
     "entity_resolution": q_entity_resolution,
     "temporal_dedup": q_temporal_dedup,
     "exact_cc_clusters_planted": q_exact_cc_clusters_planted,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES = {
@@ -1252,6 +1279,7 @@ ORACLES = {
     "entity_resolution": O_ENTITY_RESOLUTION,
     "temporal_dedup": O_TEMPORAL_DEDUP,
     "exact_cc_clusters_planted": O_EXACT_CC_CLUSTERS,
+    "ivf_topk": O_SEMANTIC_TOPK,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }

@@ -158,3 +158,97 @@ def topk_cosine(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN index — the similarity-search scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    embs: DataFrame,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 20_000,
+    iters: int = 10,
+    seed: int = 9,
+) -> np.ndarray:
+    """Deterministic k-means centroids from a hash-sampled subset.
+
+    The sample is bounded (``sample_cap`` rows to the driver — IVF
+    training is sublinear by design; FAISS trains on samples too), the
+    sampling is content-addressed (xxhash64 of the id, no RNG on
+    executors), and Lloyd runs vectorized on the driver. Returns
+    (n_cells, dim) float64, L2-normalized rows.
+    """
+    total = embs.count()
+    if total == 0:
+        raise ValueError("cannot train IVF on an empty table")
+    mod = max(1, total // sample_cap)
+    sample = (
+        embs.select(F.col(vec_col))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .limit(sample_cap)
+        .toPandas()[vec_col]
+    )
+    mat = np.vstack(sample.to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    k = min(n_cells, mat.shape[0])
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(mat.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T  # cosine on normalized rows
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def assign_ivf_cells(
+    embs: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add an IVF ``cell`` column (argmax-cosine centroid). One
+    vectorized pandas-UDF pass; at scale, write the result partitioned
+    by cell so probes become partition-pruned scans."""
+    cent = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype("int32"))
+
+    return embs.withColumn("cell", nearest_cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the ``n_probe`` nearest cells, exact cosine
+    inside them. Scans ~n_probe/n_cells of the corpus instead of all
+    of it (a partition-pruned scan when the index is written
+    partitionBy('cell')); exactness is restored inside the probed
+    cells, so recall loss comes only from cell-boundary neighbors —
+    raise n_probe to trade cost for recall."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in (centroids @ q).argsort()[::-1][:n_probe]]
+    scorer = make_cosine_to_query_udf([float(x) for x in q])
+    return (
+        indexed.filter(F.col("cell").isin(probes))
+        .select(F.col(id_col), F.round(scorer(F.col(vec_col)), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -74,3 +74,30 @@ def test_topk_sql_matches_pandas_path(embs):
     a = [(r["vec_id"]) for r in topk_cosine(embs, list(q), 10, use_pandas=True).collect()]
     b = [(r["vec_id"]) for r in topk_cosine(embs, list(q), 10, use_pandas=False).collect()]
     assert a == b
+
+
+def test_ivf_topk_recall_vs_brute(clustered, spark):
+    """IVF probe search: recall@10 vs exact brute force on the
+    clustered fixture; centroid training is deterministic."""
+    import numpy as np
+
+    from epstein_pipeline_spark.operators.embed_pass import (
+        assign_ivf_cells,
+        ivf_topk,
+        train_ivf_centroids,
+        topk_cosine,
+    )
+
+    cent = train_ivf_centroids(clustered, n_cells=16, sample_cap=500, seed=9)
+    cent2 = train_ivf_centroids(clustered, n_cells=16, sample_cap=500, seed=9)
+    assert np.allclose(cent, cent2)  # deterministic
+
+    indexed = assign_ivf_cells(clustered, cent)
+    indexed.cache().count()
+    q = clustered.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    exact = [r["vec_id"] for r in topk_cosine(clustered, list(q), k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(indexed, cent, list(q), k=10, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"IVF recall@10 {recall}"
+    # probes prune: the searched subset is a strict minority of cells
+    assert indexed.select("cell").distinct().count() > 4
