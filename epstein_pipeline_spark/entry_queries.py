@@ -960,10 +960,31 @@ def q_rhp_cosine_pairs(spark, sf):
 
 
 def q_chunk_documents(spark, sf):
-    """F5: pandas-UDF chunker + posexplode (UDTF-shaped flatMap)."""
+    """F5: pandas-UDF chunker + posexplode (UDTF-shaped flatMap).
+
+    Oracle note: the corpus texts contain no blank-line paragraph
+    breaks, so at target_chars=200 every doc takes py_chunk's
+    hard-split path — a closed-form piece formula (s = 0, 200, 400…;
+    piece = text[max(0, s-overlap):s+200]) that SQL can replicate
+    exactly, turning this from a rows-only check into a full
+    value-hash oracle. The greedy paragraph-packing path is covered by
+    tests/test_longtail_ops.py::test_chunker_offsets_and_coverage."""
     from epstein_pipeline_spark.functions.chunker import chunk_documents
 
     return chunk_documents(_docs(spark, sf), id_col="doc_id", text_col="text", target_chars=200)
+
+
+O_CHUNK_DOCUMENTS = """
+SELECT doc_id AS url,
+       CAST(s / 200 AS INT) AS chunk_index,
+       CASE WHEN s = 0 THEN 0 ELSE s - 200 END AS char_start,
+       (CASE WHEN s = 0 THEN 0 ELSE s - 200 END)
+         + length(CASE WHEN s = 0 THEN substr(text, 1, 200)
+                       ELSE substr(text, s - 200 + 1, 400) END) AS char_end,
+       CASE WHEN s = 0 THEN substr(text, 1, 200)
+            ELSE substr(text, s - 200 + 1, 400) END AS chunk_text
+FROM documents, LATERAL unnest(range(0, length(text), 200)) AS t(s)
+"""
 
 
 def q_exact_cc_clusters_planted(spark, sf):
@@ -1280,6 +1301,7 @@ ORACLES = {
     "temporal_dedup": O_TEMPORAL_DEDUP,
     "exact_cc_clusters_planted": O_EXACT_CC_CLUSTERS,
     "ivf_topk": O_SEMANTIC_TOPK,
+    "chunk_documents": O_CHUNK_DOCUMENTS,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }
