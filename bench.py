@@ -39,7 +39,10 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "64000"))
 # stalls that land on random stages; a single noisy lo run inflates
 # efficiency as easily as a noisy hi run deflates it
 BENCH_REPEATS_LO = int(os.environ.get("BENCH_REPEATS_LO", "2"))
-BENCH_REPEATS_HI = int(os.environ.get("BENCH_REPEATS_HI", "2"))
+# hi runs are ~3x cheaper than lo and hi noise directly deflates the
+# efficiency ratio — one extra hi repeat buys the most variance
+# reduction per second
+BENCH_REPEATS_HI = int(os.environ.get("BENCH_REPEATS_HI", "3"))
 # scaling pair: N vs 4N cores. 1 vs 4 keeps both runs under the
 # sandbox's shared-socket memory-bandwidth ceiling (local-mode threads
 # share one bus; high core counts measure the bus, not the engine —

@@ -123,3 +123,17 @@ def test_rhp_candidates_single_shuffle(spark):
     assert n_exchanges <= 1, f"{n_exchanges} exchanges:\n{p}"
     # the embedding column must NOT survive into the exploded band rows
     assert "_v" not in re.sub(r"_buckets|_vv|_v1|_v2", "", p.split("Exchange", 1)[1])
+
+
+def test_entity_extract_is_jvm_only_single_scan(spark):
+    """P9 extraction is regexp_extract_all + double explode: no Python
+    eval nodes, no joins/exchanges — one codegen'd scan."""
+    import re
+
+    from epstein_pipeline_spark.operators.entities import extract_entities
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(extract_entities(docs))
+    assert "EvalPython" not in p  # no Arrow/Batch python nodes
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "Scan parquet" in p
