@@ -36,16 +36,21 @@ def exact_jaccard_pairs(
     id_col: str = "url",
     text_col: str = "text",
     min_keep: float | None = None,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """(url1, url2, score=exact jaccard) for candidate pairs.
 
     ``min_keep`` drops pairs below the bound early (default:
     cfg.lcs_gray_low, keeping the gray zone for the LCS stage).
+    ``pre_normalized=True`` skips the normalize pass over the whole
+    docs table (the pipeline's extract stage already normalized —
+    normalize is idempotent, so this is a pure cost cut there).
     """
     if min_keep is None:
         min_keep = cfg.lcs_gray_low
     k = cfg.shingle_k
-    t = docs.select(F.col(id_col).alias("url"), normalize_text_expr(text_col).alias("_t"))
+    tcol = F.col(text_col) if pre_normalized else normalize_text_expr(text_col)
+    t = docs.select(F.col(id_col).alias("url"), tcol.alias("_t"))
     # explicit hash-repartition on url1 before the UDF, for two
     # reasons: (a) candidate pairs are chain+star shaped (one hub url1
     # fans out to many url2s), so url1-clustering makes the

@@ -120,18 +120,19 @@ def run_dedup(
     def build_signatures() -> DataFrame:
         from epstein_pipeline_spark.functions.minhash import make_minhash_udf
         from epstein_pipeline_spark.functions.simhash import make_simhash_udf
-        from epstein_pipeline_spark.functions.text import normalize_text_expr
 
         mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
         sh_udf = make_simhash_udf()
-        # even round-robin repartition before the (dominant) signature
-        # UDF: input splits are byte-sized off parquet files and leave
-        # a ragged tail wave; one cheap shuffle of the normalized text
-        # buys evenly-loaded workers for the most expensive stage
+        # NOTE: docs.text is already normalized by extract (normalize
+        # is idempotent) — re-normalizing here was a redundant
+        # full-corpus regex pass in the single most expensive stage.
+        # Even round-robin repartition before the signature UDF: input
+        # splits are byte-sized off parquet files and leave a ragged
+        # tail wave; one cheap shuffle buys evenly-loaded workers.
         nparts = spark.sparkContext.defaultParallelism * 4
         return (
             docs.filter(F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len))
-            .select("url", normalize_text_expr("text").alias("_norm"), F.length("text").alias("_len"))
+            .select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
             .repartition(nparts)
             .withColumn("sig", mh_udf("_norm"))
             .withColumn("simhash", sh_udf("_norm"))
@@ -167,7 +168,7 @@ def run_dedup(
     def build_minhash_scored() -> DataFrame:
         high = est.filter(F.col("score") >= 0.90)
         near = est.filter(F.col("score") < 0.90)
-        return high.unionByName(exact_jaccard_pairs(near, docs, cfg))
+        return high.unionByName(exact_jaccard_pairs(near, docs, cfg, pre_normalized=True))
 
     mh_scored = staged(
         "minhash_scored", build_minhash_scored, {"pairs_in": n_cand}
