@@ -1275,7 +1275,7 @@ ORACLES = {
     "event_cooccurrence": O_EVENT_COOCCURRENCE,
     "duplicate_ids": O_DUPLICATE_IDS,
     "keyword_search": O_KEYWORD_SEARCH,
-    # rhp_cosine_pairs / chunk_documents: pandas-UDF paths, rows-only
+    # rhp_cosine_pairs: approximate LSH candidate set — rows-only
     "exact_dup_pairs": O_EXACT_DUP_PAIRS,
     "stats_by_source": O_STATS_BY_SOURCE,
     "token_stats": O_TOKEN_STATS,

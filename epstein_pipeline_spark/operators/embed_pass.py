@@ -185,9 +185,14 @@ def train_ivf_centroids(
     if total == 0:
         raise ValueError("cannot train IVF on an empty table")
     mod = max(1, total // sample_cap)
+    # orderBy(hash) before limit: a bare limit takes rows in partition
+    # order, which varies with layout/parallelism — sorting by the
+    # content hash keeps the training set (and thus the centroids)
+    # identical across core counts and file arrangements
     sample = (
-        embs.select(F.col(vec_col))
-        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        embs.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .filter(F.pmod(F.col("_h"), F.lit(mod)) == 0)
+        .orderBy("_h")
         .limit(sample_cap)
         .toPandas()[vec_col]
     )
@@ -195,7 +200,17 @@ def train_ivf_centroids(
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     k = min(n_cells, mat.shape[0])
     rng = np.random.RandomState(seed)
-    cent = mat[rng.choice(mat.shape[0], size=k, replace=False)]
+    # k-means++ seeding (deterministic via the seeded RNG + the
+    # hash-ordered sample): uniform-random init is luck-sensitive —
+    # two near-identical anchors grabbing two cells starves others
+    cent = np.empty((k, mat.shape[1]))
+    cent[0] = mat[rng.randint(mat.shape[0])]
+    d2 = 1.0 - mat @ cent[0]  # cosine distance on normalized rows
+    np.maximum(d2, 0.0, out=d2)
+    for i in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-12)
+        cent[i] = mat[rng.choice(mat.shape[0], p=probs)]
+        np.minimum(d2, np.maximum(1.0 - mat @ cent[i], 0.0), out=d2)
     for _ in range(iters):
         sims = mat @ cent.T  # cosine on normalized rows
         assign = sims.argmax(axis=1)

@@ -35,31 +35,50 @@ _B = np.uint64(1_000_003)
 _INV_B = np.uint64(pow(int(_B), -1, 1 << 64))
 
 
-def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
-    """uint64 polynomial hashes of every length-k window (mod 2^64).
-
-    O(n) per call via prefix sums: with c[i] = a[i] * B^(n-1-i) and
-    S its exclusive prefix sum, the canonical window hash
-    w[i] = sum a[i+j] * B^(k-1-j) satisfies
-    (S[i+k] - S[i]) = B^(n-k-i) * w[i], so w[i] recovers by one
-    elementwise multiply with precomputed inverse powers — the naive
-    (n,k) windowed multiply is O(n*k) and made the LCS binary search
-    quadratic in text length."""
+def _prefix_state(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """k-independent prefix state for O(n)-per-probe window hashing:
+    (exclusive prefix sums of a[i] * B^(n-1-i), inverse powers of B).
+    Computed ONCE per string; the LCS binary search probes ~log n
+    window lengths and each probe only pays the final slice multiply."""
     n = data.shape[0]
-    if n < k:
-        return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        # powers[j] = B^j, inv_powers[j] = B^-j (mod 2^64), j in [0, n]
         powers = np.empty(n + 1, dtype=np.uint64)
         powers[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=powers[1:])
+        if n:
+            np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=powers[1:])
         inv_powers = np.empty(n + 1, dtype=np.uint64)
         inv_powers[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(n, _INV_B, dtype=np.uint64), out=inv_powers[1:])
+        if n:
+            np.multiply.accumulate(np.full(n, _INV_B, dtype=np.uint64), out=inv_powers[1:])
         c = data * powers[::-1][1:]  # a[i] * B^(n-1-i)
         s = np.zeros(n + 1, dtype=np.uint64)
         np.add.accumulate(c, out=s[1:])
+    return s, inv_powers
+
+
+def _window_hashes(state: tuple[np.ndarray, np.ndarray], k: int) -> np.ndarray:
+    """uint64 polynomial hashes of every length-k window (mod 2^64)
+    from a precomputed prefix state.
+
+    With c[i] = a[i] * B^(n-1-i) and S its exclusive prefix sum, the
+    canonical window hash w[i] = sum a[i+j] * B^(k-1-j) satisfies
+    (S[i+k] - S[i]) = B^(n-k-i) * w[i], so w[i] recovers by one
+    elementwise multiply with the inverse powers — the naive (n,k)
+    windowed multiply is O(n*k) and made the LCS binary search
+    quadratic in text length."""
+    s, inv_powers = state
+    n = s.shape[0] - 1
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
         return (s[k:] - s[: n - k + 1]) * inv_powers[: n - k + 1][::-1]
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """One-shot convenience wrapper (tests use this directly)."""
+    if data.shape[0] < k:
+        return np.empty(0, dtype=np.uint64)
+    return _window_hashes(_prefix_state(data), k)
 
 
 def py_lcs_length(s1: str, s2: str) -> int:
@@ -70,14 +89,15 @@ def py_lcs_length(s1: str, s2: str) -> int:
     if a.shape[0] > b.shape[0]:
         a, b = b, a
     lo, hi = 0, a.shape[0]  # invariant: lcs >= lo, <= hi
+    sa, sb = _prefix_state(a), _prefix_state(b)
 
     def has_common(k: int) -> bool:
         if k == 0:
             return True
-        ha = _rolling_hashes(a, k)
+        ha = _window_hashes(sa, k)
         if ha.shape[0] == 0:
             return False
-        hb = _rolling_hashes(b, k)
+        hb = _window_hashes(sb, k)
         return bool(np.isin(ha, hb, assume_unique=False).any())
 
     while lo < hi:

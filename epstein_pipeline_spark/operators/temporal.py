@@ -3,22 +3,53 @@
 Reference: ``processors/temporal_extractor.py:282-323`` — two events
 are duplicates iff same date, same event_type, and >80% word overlap
 between descriptions (overlap = |words_a ∩ words_b| / max(|a|, |b|),
-lowercased whitespace split); the higher-confidence event survives.
+lowercased whitespace split); the higher-confidence event survives
+(strictly higher replaces; ties keep the earlier one).
 
-Distributed restatement: the reference walks events in list order
-(greedy first-seen); order-dependence doesn't distribute, so the
-Spark operator uses the order-free equivalent — an event is dropped
-iff some event in its (date, event_type) group overlaps >0.8 and
-dominates it on (confidence, then lower id as the deterministic
-tie-break). For transitively-overlapping groups this keeps exactly
-the argmax-confidence member, which is what the reference's greedy
-loop converges to for its chunk-overlap use case.
+Distributed restatement: the reference walks the event list greedily,
+comparing each event against the KEPT list only — a chain A~B~C
+(A!~C) with descending confidence keeps {A, C}, not just {A}, so a
+"dominated by anyone in the group" rule is NOT equivalent. But the
+greedy only ever compares within one (date, event_type) group, and
+those groups are small (chunk-overlap artifacts), so the faithful
+translation is ``applyInPandas`` per group running the reference
+greedy verbatim over the group sorted by event id (the reference's
+list order is its input order; a distributed engine needs a
+deterministic stand-in, and ascending id is the natural one).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def py_greedy_dedup(
+    events: Iterable[tuple],
+    overlap_threshold: float = 0.8,
+) -> list[int]:
+    """Reference greedy (temporal_extractor.py:294-322) over one
+    (date, event_type) group. ``events``: (event_id, description,
+    confidence) in processing order. Returns surviving event_ids."""
+    kept: list[tuple[int, set, float]] = []  # (id, words, confidence)
+    for eid, desc, conf in events:
+        words = set((desc or "").lower().split())
+        is_dup = False
+        for i, (kid, kwords, kconf) in enumerate(kept):
+            if words and kwords:
+                overlap = len(words & kwords) / max(len(words), len(kwords))
+                if overlap > overlap_threshold:
+                    if conf > kconf:
+                        kept.pop(i)
+                        kept.append((eid, words, conf))
+                    is_dup = True
+                    break
+        if not is_dup:
+            kept.append((eid, words, conf))
+    return [k[0] for k in kept]
 
 
 def dedup_events(
@@ -30,30 +61,28 @@ def dedup_events(
     conf_col: str = "confidence",
     overlap_threshold: float = 0.8,
 ) -> DataFrame:
-    """Drop dominated near-duplicate events; returns the survivors
-    with the input schema."""
-    toks = F.array_distinct(F.split(F.lower(F.col(desc_col)), r"\s+"))
+    """Drop near-duplicate events; returns survivors with the input
+    schema. Groups are (date, event_type); within a group the
+    reference greedy runs over events sorted by ascending id."""
     slim = events.select(
-        F.col(id_col).alias("_id"),
         F.col(date_col).alias("_d"),
         F.col(type_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+        F.col(desc_col).alias("_desc"),
         F.col(conf_col).alias("_c"),
-        toks.alias("_w"),
     )
-    a, b = slim.alias("a"), slim.alias("b")
-    overlap = F.size(F.array_intersect(F.col("a._w"), F.col("b._w"))) / F.greatest(
-        F.size(F.col("a._w")), F.size(F.col("b._w"))
-    )
-    dominated = (
-        a.join(b, (F.col("a._d") == F.col("b._d")) & (F.col("a._t") == F.col("b._t")))
-        .filter(F.col("a._id") != F.col("b._id"))
-        .filter((F.size(F.col("a._w")) > 0) & (F.size(F.col("b._w")) > 0))
-        .filter(overlap > overlap_threshold)
-        .filter(
-            (F.col("b._c") > F.col("a._c"))
-            | ((F.col("b._c") == F.col("a._c")) & (F.col("b._id") < F.col("a._id")))
+    id_type = dict(events.dtypes)[id_col]
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        keep = py_greedy_dedup(
+            zip(pdf["_id"], pdf["_desc"], pdf["_c"]), overlap_threshold
         )
-        .select(F.col("a._id").alias(id_col))
-        .distinct()
+        return pdf[pdf["_id"].isin(keep)][["_id"]]
+
+    survivors = slim.groupBy("_d", "_t").applyInPandas(
+        run_group, schema=f"_id {id_type}"
     )
-    return events.join(dominated, id_col, "left_anti")
+    return events.join(
+        survivors.select(F.col("_id").alias(id_col)), id_col, "left_semi"
+    )

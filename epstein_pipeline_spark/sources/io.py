@@ -211,6 +211,11 @@ def write_sqlite(
     )
     con = sqlite3.connect(db_path)
     try:
+        # REPLACE = DELETE + INSERT, but SQLite only fires the AFTER
+        # DELETE trigger under REPLACE when recursive_triggers is ON —
+        # without it a re-export leaves dangling rowids in the
+        # external-content FTS index (ghost entries, corrupt bm25)
+        con.execute("PRAGMA recursive_triggers = ON")
         con.executescript(_SQLITE_SCHEMA)
         def insert_stream(df, sql):
             batch = []

@@ -139,7 +139,14 @@ def stateful_dedup_stream(
             if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
                 best = cand
         if state.exists:
-            return  # hash already emitted in an earlier batch
+            # already emitted — but RE-ARM the timeout: GroupState
+            # clears any pending timeout on every invocation, so
+            # returning without set would make this hash's state
+            # immortal the first time a duplicate arrives (the
+            # bounded-state mode would silently become unbounded)
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+            return
         state.update((True,))
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)

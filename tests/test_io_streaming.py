@@ -72,6 +72,16 @@ def test_sqlite_fts_sink(spark, tmp_path):
     ).fetchone()[0] == "N908JE"
     con.close()
 
+    # RE-EXPORT to the same db (the kill/rerun pattern): INSERT OR
+    # REPLACE must fire the FTS delete trigger (recursive_triggers ON)
+    # or the external-content index accumulates ghost rowids
+    write_sqlite(docs, db, entities=ents, batch_size=1)
+    assert [h[0] for h in fts_search(db, "flights")] == ["d1"]
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO documents_fts(documents_fts) VALUES ('integrity-check')")
+    assert con.execute("SELECT count(*) FROM documents").fetchone()[0] == 2
+    con.close()
+
 
 def test_pages_roundtrip_and_cluster_sink(spark, pages, tmp_path):
     p = tmp_path / "pages"

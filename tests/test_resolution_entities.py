@@ -144,3 +144,21 @@ def test_temporal_dedup_gate(spark):
     )
     kept = {r["event_id"] for r in dedup_events(ev).collect()}
     assert kept == {2, 3, 4, 5, 6}
+
+
+def test_temporal_dedup_chain_matches_reference_greedy(spark):
+    """Chain A~B~C (A!~C) with descending confidence: the reference
+    greedy compares against KEPT events only, so C survives (B was
+    replaced by A before C arrives) — a 'dominated by anyone in the
+    group' rule would wrongly drop C too."""
+    w = [f"w{i}" for i in range(10)]
+    a = " ".join(w)                      # w0..w9
+    b = " ".join(w[:9] + ["x"])          # overlap with a: 9/10 = 0.9
+    c = " ".join(w[:8] + ["x", "y"])     # with b: 9/10 = 0.9; with a: 8/10 = 0.8
+    ev = spark.createDataFrame(
+        [(1, "2001-01-01", "t", a, 0.9), (2, "2001-01-01", "t", b, 0.5),
+         (3, "2001-01-01", "t", c, 0.1)],
+        "event_id long, date string, event_type string, description string, confidence double",
+    )
+    kept = {r["event_id"] for r in dedup_events(ev).collect()}
+    assert kept == {1, 3}
