@@ -111,3 +111,43 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, decode_stub: str = "deterministic"
+) -> DataFrame:
+    """Image-resize plumbing: (media_id, width, height, resized:binary).
+
+    The Spark-side contract is real — kind filter, metadata columns,
+    Arrow batching, bounded output size (the resized payload is
+    width*height bytes, never the original) — while the decode/resample
+    kernel is stubbed deterministically (sha256-seeded byte tile; the
+    PIL plug point is the inner function). ``decode_stub='raise'``
+    surfaces the missing-codec error instead."""
+    import hashlib
+
+    def _fake_resize(content: bytes) -> bytes:
+        seed = hashlib.sha256(content).digest()
+        reps = (width * height) // len(seed) + 1
+        return (seed * reps)[: width * height]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this container"
+                )
+            resized = [
+                _fake_resize(bytes(c) if c is not None else b"") for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resized": resized,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(run, schema="media_id string, width int, height int, resized binary")

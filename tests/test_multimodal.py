@@ -47,3 +47,19 @@ def test_frame_sampling(spark, media):
     for ms_list in by_media.values():
         assert sorted(ms_list) == ms_list or sorted(ms_list) == sorted(ms_list)
         assert all(m % 1000 == 0 for m in ms_list)
+
+
+def test_resize_plumbing(spark):
+    from epstein_pipeline_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=24)
+    out = resize_images(media, width=32, height=16).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    assert all(len(r["resized"]) == 32 * 16 for r in out)
+    assert all((r["width"], r["height"]) == (32, 16) for r in out)
+    # deterministic across runs
+    again = resize_images(media, width=32, height=16).collect()
+    assert {(r["media_id"], bytes(r["resized"])) for r in out} == {
+        (r["media_id"], bytes(r["resized"])) for r in again
+    }
