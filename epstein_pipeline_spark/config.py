@@ -61,6 +61,9 @@ class DedupConfig:
     salt_buckets: int = 8  # CC star-join hot-root salting factor
     # (operators/cc.py::_salted_join — the north rule's salted keys for
     # host-domain / mega-cluster skew; 1 disables)
+    salt_min_pairs: int = 2_000_000  # salt only when the edge list is
+    # big enough for a hub to dominate one task; below this the salt's
+    # per-round replicate/explode overhead exceeds any skew it removes
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -197,13 +197,17 @@ def run_dedup(
 
     pairs = staged("pairs", build_pairs)
 
-    # 6. connected components
+    # 6. connected components — hot-root salting kicks in only past
+    # cfg.salt_min_pairs edges (the pairs manifest is free to read);
+    # below that the replicate/explode overhead exceeds any skew
+    n_pairs = (store.latest("pairs") or {}).get("rows", 0)
+    salt = cfg.salt_buckets if n_pairs >= cfg.salt_min_pairs else 1
     labels = staged(
         "labels",
         lambda: connected_components(
             pairs, nodes=docs.select("url"),
             max_iters=cfg.cc_max_iters, checkpoint_every=cfg.cc_checkpoint_every,
-            salt_buckets=cfg.salt_buckets,
+            salt_buckets=salt,
         ),
     )
 
