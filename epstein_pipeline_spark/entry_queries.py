@@ -1207,6 +1207,14 @@ def q_temporal_dedup(spark, sf):
     return dedup_events(ev).select("event_id", "date", "event_type", "confidence")
 
 
+# ORACLE SCOPE: this SQL encodes the order-free "dominated by a
+# higher-confidence overlapping event" rule, which equals the
+# operator's reference-greedy semantics ONLY because the synthesized
+# descriptions ('grpN evt TYPE') form identical-description CLIQUES
+# within each (date, event_type) group — no >0.8 overlap chains exist.
+# Chain-shaped data diverges (greedy keeps chain tails; see
+# tests/test_resolution_entities.py::test_temporal_dedup_chain_matches_reference_greedy);
+# if the derivation ever changes, keep it clique-shaped or drop the oracle.
 O_TEMPORAL_DEDUP = """
 WITH ev AS (
   SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,

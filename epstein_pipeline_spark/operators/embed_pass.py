@@ -208,7 +208,15 @@ def train_ivf_centroids(
     d2 = 1.0 - mat @ cent[0]  # cosine distance on normalized rows
     np.maximum(d2, 0.0, out=d2)
     for i in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-12)
+        total = float(d2.sum())
+        if total <= 1e-9:
+            # degenerate sample (all points ~identical / already
+            # covered): kmeans++ weights vanish — fall back to uniform
+            # picks so constant-embedding corpora still train
+            cent[i] = mat[rng.randint(mat.shape[0])]
+            continue
+        probs = d2 / total
+        probs /= probs.sum()  # exact renormalize for rng.choice
         cent[i] = mat[rng.choice(mat.shape[0], p=probs)]
         np.minimum(d2, np.maximum(1.0 - mat @ cent[i], 0.0), out=d2)
     for _ in range(iters):

@@ -124,7 +124,6 @@ def resize_images(
     kernel is stubbed deterministically (sha256-seeded byte tile; the
     PIL plug point is the inner function). ``decode_stub='raise'``
     surfaces the missing-codec error instead."""
-    import hashlib
 
     def _fake_resize(content: bytes) -> bytes:
         seed = hashlib.sha256(content).digest()

@@ -229,6 +229,10 @@ def write_sqlite(
 
         insert_stream(sel, "INSERT OR REPLACE INTO documents VALUES (?,?,?,?,?,?,?,?,?,?)")
         if entities is not None:
+            # entities rows carry an AUTOINCREMENT id, so REPLACE can't
+            # make them idempotent — a re-export (kill/rerun) replaces
+            # the whole table instead of appending duplicates
+            con.execute("DELETE FROM extracted_entities")
             insert_stream(
                 entities.select("doc_id", "entity_type", "value"),
                 "INSERT INTO extracted_entities(document_id, entity_type, text) VALUES (?,?,?)",

@@ -80,6 +80,9 @@ def test_sqlite_fts_sink(spark, tmp_path):
     con = sqlite3.connect(db)
     con.execute("INSERT INTO documents_fts(documents_fts) VALUES ('integrity-check')")
     assert con.execute("SELECT count(*) FROM documents").fetchone()[0] == 2
+    # re-export must not duplicate entity rows either (autoincrement id
+    # means REPLACE can't dedupe them; the sink replaces the table)
+    assert con.execute("SELECT count(*) FROM extracted_entities").fetchone()[0] == 1
     con.close()
 
 
