@@ -39,10 +39,10 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "64000"))
 # stalls that land on random stages; a single noisy lo run inflates
 # efficiency as easily as a noisy hi run deflates it
 BENCH_REPEATS_LO = int(os.environ.get("BENCH_REPEATS_LO", "2"))
-# hi runs are ~3x cheaper than lo and hi noise directly deflates the
-# efficiency ratio — one extra hi repeat buys the most variance
-# reduction per second
-BENCH_REPEATS_HI = int(os.environ.get("BENCH_REPEATS_HI", "3"))
+# EQUAL repeats per level: an unpaired trailing run at either level
+# re-introduces the session-drift bias the lo/hi mirroring cancels
+# (mean wall-clock position of lo runs must equal that of hi runs)
+BENCH_REPEATS_HI = int(os.environ.get("BENCH_REPEATS_HI", "2"))
 # scaling pair: N vs 4N cores. 1 vs 4 keeps both runs under the
 # sandbox's shared-socket memory-bandwidth ceiling (local-mode threads
 # share one bus; high core counts measure the bus, not the engine —

@@ -73,6 +73,12 @@ def make_rhp_udf(dim: int | None = None, n_bits: int = 16, n_tables: int = 8, se
                 size=(n_tables, n_bits, mat.shape[1])
             )
             state["planes"] = planes
+        if mat.shape[1] != planes.shape[2]:
+            # ragged embedding dims would otherwise hash with
+            # different-dimension planes per executor — fail loudly
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} != hyperplane dim {planes.shape[2]}"
+            )
         out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         for t in range(n_tables):
@@ -208,14 +214,14 @@ def train_ivf_centroids(
     d2 = 1.0 - mat @ cent[0]  # cosine distance on normalized rows
     np.maximum(d2, 0.0, out=d2)
     for i in range(1, k):
-        total = float(d2.sum())
-        if total <= 1e-9:
+        d2_mass = float(d2.sum())
+        if d2_mass <= 1e-9:
             # degenerate sample (all points ~identical / already
             # covered): kmeans++ weights vanish — fall back to uniform
             # picks so constant-embedding corpora still train
             cent[i] = mat[rng.randint(mat.shape[0])]
             continue
-        probs = d2 / total
+        probs = d2 / d2_mass
         probs /= probs.sum()  # exact renormalize for rng.choice
         cent[i] = mat[rng.choice(mat.shape[0], p=probs)]
         np.minimum(d2, np.maximum(1.0 - mat @ cent[i], 0.0), out=d2)

@@ -18,7 +18,7 @@ if the bucket mixes distinct clusters, which banding makes rare.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from epstein_pipeline_spark.config import DedupConfig

@@ -12,7 +12,7 @@ ordering/threshold semantics match the other passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from epstein_pipeline_spark.config import DedupConfig

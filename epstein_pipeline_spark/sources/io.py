@@ -217,6 +217,14 @@ def write_sqlite(
         # external-content FTS index (ghost entries, corrupt bm25)
         con.execute("PRAGMA recursive_triggers = ON")
         con.executescript(_SQLITE_SCHEMA)
+        # Re-export REPLACES the export, like the entities table below:
+        # INSERT OR REPLACE alone leaves ghost rows (and ghost FTS
+        # entries) for documents removed from the corpus between
+        # exports. Delete children first (document_persons references
+        # documents); the per-row AFTER DELETE trigger keeps the FTS
+        # index in sync.
+        con.execute("DELETE FROM document_persons")
+        con.execute("DELETE FROM documents")
         def insert_stream(df, sql):
             batch = []
             for row in df.toLocalIterator():
