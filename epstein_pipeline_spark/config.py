@@ -54,6 +54,11 @@ class DedupConfig:
     # -- skew / scale guards --
     band_bucket_cap: int = 500  # LSH buckets above this emit chain+star
     # pairs (O(n)) instead of all-pairs (O(n^2)); preserves connectivity.
+    fuzzy_block_cap: int = 2000  # blocked fuzzy joins (title first-word
+    # blocks, entity-resolution name blocks) use the same chain+star
+    # guard above this block size — the splink_max_pairs memory-guard
+    # analog (reference config.py:130); 2000 keeps every tested scale
+    # on the exact all-pairs path.
     cc_checkpoint_every: int = 3  # cut lineage in the CC loop
     cc_max_iters: int = 50
 

@@ -466,19 +466,27 @@ SELECT p_brand, p_partkey, p_retailprice, rn FROM (
 def q_customer_fuzzy_pairs(spark, sf):
     """J3: blocked fuzzy join — levenshtein <= 2 within nation blocks
     (reference fuzz.ratio title dedup, dedup.py:296-324)."""
+    from epstein_pipeline_spark.operators.pairs import salted_block_join
+
     c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    # threshold form of levenshtein: banded O(n*k) DP with early abort
-    # (returns -1 above the bound) instead of the O(n^2) full matrix —
-    # identical surviving rows, ~3x cheaper on the quadratic-in-block
-    # comparison volume. Finer blocking keys don't work on THIS data
-    # (every c_name shares the 'Customer#000...' prefix, so q-gram
-    # partition blocks are degenerate); the scale-path answer for real
-    # name data is operators/fuzzy_title.py's first-token blocking.
+    # blocked pairs through the sub-salting skew guard (splink_max_pairs
+    # analog; blocks here are <= 600 rows at tested scales, far under
+    # the cap, so the output is exactly all-pairs). Dense blocks keep
+    # the codegen equi-join (see salted_block_join vs the array-based
+    # guarded_block_pairs trade-off). The comparison is the threshold
+    # form of levenshtein: banded O(n*k) DP with early abort (returns
+    # -1 above the bound) instead of the O(n^2) full matrix. Finer
+    # blocking keys don't work on THIS data (every c_name shares the
+    # 'Customer#000...' prefix, so q-gram partition blocks are
+    # degenerate); the scale-path answer for real name data is
+    # operators/fuzzy_title.py's first-token blocking.
+    pairs = salted_block_join(
+        c, "c_nationkey", ["c_custkey", "c_name"], cap=2000
+    )
     return (
-        a.join(b, "c_nationkey")
-        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .withColumn("lev", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2))
+        pairs.withColumn(
+            "lev", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
+        )
         .filter(F.col("lev") >= 0)
         .select(
             F.col("a.c_custkey").alias("custkey1"),
@@ -775,33 +783,60 @@ FROM d a JOIN d b
 
 def q_title_fuzzy(spark, sf):
     """J3: blocked fuzzy-title join over derived titles (first 25
-    normalized chars), levenshtein ratio >= 0.8 within first-word
-    blocks."""
+    normalized chars), rapidfuzz fuzz.ratio (InDel) >= 0.90 within
+    first-word blocks — the reference's kernel and threshold
+    (processors/dedup.py:313, config dedup_threshold 0.90)."""
     from epstein_pipeline_spark.operators.fuzzy_title import title_fuzzy_pairs
 
     d = _docs(spark, sf).select(
         "doc_id", F.substring(_norm("text"), 1, 25).alias("title")
     )
-    return title_fuzzy_pairs(d, id_col="doc_id", threshold=0.8).select(
+    return title_fuzzy_pairs(d, id_col="doc_id", threshold=0.90).select(
         F.col("url1").alias("doc_id1"), F.col("url2").alias("doc_id2"), "score"
     )
 
 
+# InDel ratio = 2*LCS/(la+lb). DuckDB has no LCS builtin, so the oracle
+# computes it exactly: a cheap levenshtein UPPER BOUND prunes candidates
+# (indel_dist >= lev_dist, so 1 - lev/(la+lb) >= indel ratio — never
+# drops a true match), then a recursive-CTE DP computes LCS per
+# survivor. Each DP row update uses the prefix-max identity
+# new[j] = cummax(max(old[j], old[j-1]+eq)) over 1-based lists.
 O_TITLE_FUZZY = f"""
-WITH d AS (
+WITH RECURSIVE d AS (
   SELECT doc_id, substr({_NORM_DUCK.format(c='text')}, 1, 25) AS title
   FROM documents
 ), t AS (
   SELECT doc_id, title, string_split(title, ' ')[1] AS blk FROM d
+), cand AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         a.title AS t1, b.title AS t2
+  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CASE WHEN length(a.title) + length(b.title) = 0 THEN 1.0
+             ELSE 1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
+                   / (length(a.title) + length(b.title)) END >= 0.90
+), dp AS (
+  SELECT doc_id1, doc_id2, t1, t2, 0 AS i,
+         list_transform(range(1, length(t2)+2), x -> 0) AS dprow
+  FROM cand
+  UNION ALL
+  SELECT doc_id1, doc_id2, t1, t2, i+1,
+         list_transform(range(1, length(t2)+2), j ->
+            list_max(list_transform(range(1, j+1), k ->
+               CASE WHEN k = 1 THEN 0
+                    ELSE greatest(dprow[k], dprow[k-1] +
+                         CASE WHEN substr(t1, i+1, 1) = substr(t2, k-1, 1)
+                              THEN 1 ELSE 0 END)
+               END)))
+  FROM dp WHERE i < length(t1)
+), scored AS (
+  SELECT doc_id1, doc_id2,
+         round(CASE WHEN length(t1) + length(t2) = 0 THEN 1.0
+                    ELSE 2.0 * dprow[length(t2)+1]
+                          / (length(t1) + length(t2)) END, 6) AS score
+  FROM dp WHERE i = length(t1)
 )
-SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-       round(CASE WHEN greatest(length(a.title), length(b.title)) = 0 THEN 1.0
-                  ELSE 1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
-                        / greatest(length(a.title), length(b.title)) END, 6) AS score
-FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE round(CASE WHEN greatest(length(a.title), length(b.title)) = 0 THEN 1.0
-                 ELSE 1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
-                       / greatest(length(a.title), length(b.title)) END, 6) >= 0.8
+SELECT doc_id1, doc_id2, score FROM scored WHERE score >= 0.90
 """
 
 

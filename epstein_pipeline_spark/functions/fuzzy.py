@@ -1,22 +1,67 @@
 """Fuzzy string ratio columns.
 
-Reference uses rapidfuzz ``fuzz.ratio`` (Levenshtein-based,
+Reference uses rapidfuzz ``fuzz.ratio`` (InDel-based,
 /root/reference/src/epstein_pipeline/processors/dedup.py:313) and
-``fuzz.token_sort_ratio`` (processors/confidence.py:98). Spark's
-built-in ``levenshtein`` covers both JVM-side:
+``fuzz.token_sort_ratio`` (processors/confidence.py:98).
 
-    fuzz.ratio(a, b)/100  ~= 1 - lev(a,b) / max(len) ... but rapidfuzz
-    uses the InDel (LCS-style) ratio 1 - dist/(len(a)+len(b)). We use
-    the substitution-counting Levenshtein normalization, documented as
-    the engine's definition; thresholds are calibrated against it.
+Two kernels:
+
+- ``indel_ratio_udf`` — exact rapidfuzz ``fuzz.ratio`` semantics:
+  ``1 - indel_dist/(la+lb) = 2*LCS(a,b)/(la+lb)`` (InDel distance =
+  Levenshtein restricted to insert/delete). Vectorized numpy DP per
+  Arrow batch; callers prune with the JVM ``levenshtein`` bound first
+  (indel >= lev, so ``1 - lev/(la+lb)`` is an upper bound on the
+  ratio) so the Python kernel only sees near-matches.
+- ``levenshtein_ratio_expr`` — the pure-JVM substitution-counting
+  normalization ``1 - lev/max(len)``; cheaper, used where the engine
+  (not the reference) defines the semantics.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from epstein_pipeline_spark.functions.text import normalize_text_expr
+
+
+def py_indel_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.ratio``/100: 2*LCS/(la+lb); 1.0 for two empty
+    strings (rapidfuzz returns 100.0 there).
+
+    LCS row update uses the prefix-max identity
+    ``new[j] = max(new[j-1], old[j], old[j-1]+eq)`` ==
+    ``new = cummax(max(old, shift(old)+eq))`` so each DP row is one
+    vectorized numpy pass instead of a per-cell Python loop.
+    """
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    if la < lb:  # iterate over the shorter string: fewer numpy passes
+        a, b, la, lb = b, a, lb, la
+    bcodes = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    old = np.zeros(lb + 1, dtype=np.int32)
+    t = np.empty(lb + 1, dtype=np.int32)
+    t[0] = 0
+    for ch in a:
+        t[1:] = np.maximum(old[1:], old[:-1] + (bcodes == ord(ch)))
+        old = np.maximum.accumulate(t)
+    return 2.0 * float(old[-1]) / (la + lb)
+
+
+@F.pandas_udf(T.DoubleType())
+def indel_ratio_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [py_indel_ratio(a or "", b or "") for a, b in zip(s1, s2)],
+        dtype="float64",
+    )
 
 
 def levenshtein_ratio_expr(a: Column, b: Column) -> Column:

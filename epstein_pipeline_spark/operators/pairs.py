@@ -24,6 +24,94 @@ PASS_PRIORITY = {
 }
 
 
+def guarded_block_pairs(
+    df: DataFrame, block_col: str, payload_cols: list[str], cap: int
+) -> DataFrame:
+    """Blocked pair generation with the oversized-block skew guard.
+
+    The reference caps blocked-comparison blowup with a max-pairs
+    memory guard (``config.py:130`` splink_max_pairs,
+    ``entity_resolution.py:210``); the Spark restatement reuses the LSH
+    bucket guard: groupBy block key -> sorted member array ->
+    ``bucket_pairs_expr`` (all C(n,2) pairs for blocks <= cap, sorted
+    adjacent chain + star-to-min for oversized blocks — O(n) edges
+    that keep every true cluster connected). ONE shuffle; a hot block
+    (a common first name / first title token at web scale) emits O(n)
+    pairs instead of becoming a quadratic task.
+
+    Rows with a NULL block key never pair (same as the equi-join they
+    replace). Returns struct columns ``a`` and ``b``; the FIRST entry
+    of ``payload_cols`` is the id/order key (pairs satisfy a.id < b.id).
+    """
+    from epstein_pipeline_spark.operators.lsh import bucket_pairs_expr
+
+    buckets = (
+        df.filter(F.col(block_col).isNotNull())
+        .groupBy(block_col)
+        .agg(F.array_sort(F.collect_list(F.struct(*payload_cols))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+    return buckets.select(
+        F.explode(bucket_pairs_expr(F.col("_ms"), cap)).alias("_p")
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+
+
+def salted_block_join(
+    df: DataFrame, block_col: str, payload_cols: list[str], cap: int
+) -> DataFrame:
+    """The dense-block variant of the blocked-pair skew guard.
+
+    ``guarded_block_pairs`` pays an interpreted array expansion per
+    bucket — the right trade for small blocks. When blocks are DENSE
+    (comparison volume >> block count, e.g. thousands of rows per
+    block each needing a JVM kernel like ``levenshtein``), a codegen
+    equi-join wins: this variant sub-salts each block into
+    ``ceil(n/cap)`` hash buckets via a broadcast size lookup and
+    self-joins on (block, sub). Blocks <= cap get sub=0 everywhere —
+    EXACT all-pairs; oversized blocks degrade to O(n*cap) within-sub
+    pairs (cross-sub matches are the sacrificed tail, same contract as
+    chain+star). Whole-stage codegen is preserved end-to-end.
+
+    Same output contract as guarded_block_pairs: struct columns ``a``
+    and ``b`` with a.<id> < b.<id>; NULL block keys never pair.
+    """
+    id_col = payload_cols[0]
+    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    t = (
+        df.filter(F.col(block_col).isNotNull())
+        .join(F.broadcast(sizes), block_col)
+        .withColumn(
+            "_sub",
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")),
+                F.greatest(F.lit(1), F.ceil(F.col("_bn") / F.lit(cap))).cast("long"),
+            ),
+        )
+    )
+    # join FLAT columns — struct payloads riding through the shuffle
+    # cost ~25% extra on a dense join; the a/b structs are built only
+    # in the final projection, where Catalyst collapses
+    # CreateNamedStruct + GetStructField back to the flat columns
+    a = t.select(
+        F.col(block_col).alias("_blk"),
+        "_sub",
+        *[F.col(c).alias(f"_a_{c}") for c in payload_cols],
+    )
+    b = t.select(
+        F.col(block_col).alias("_blk"),
+        "_sub",
+        *[F.col(c).alias(f"_b_{c}") for c in payload_cols],
+    )
+    return (
+        a.join(b, ["_blk", "_sub"])
+        .filter(F.col(f"_a_{id_col}") < F.col(f"_b_{id_col}"))
+        .select(
+            F.struct(*[F.col(f"_a_{c}").alias(c) for c in payload_cols]).alias("a"),
+            F.struct(*[F.col(f"_b_{c}").alias(c) for c in payload_cols]).alias("b"),
+        )
+    )
+
+
 def canonicalize_pairs(pairs: DataFrame) -> DataFrame:
     """Enforce url1 < url2 (reference dedup.py:146,262,281,310)."""
     return pairs.select(

@@ -20,10 +20,16 @@ score is expressible as an ANSI-SQL oracle.
 
 from __future__ import annotations
 
+from collections import Counter
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from epstein_pipeline_spark.config import DEFAULT_CONFIG
+from epstein_pipeline_spark.operators.pairs import guarded_block_pairs
 
 # (column, [tier-threshold...]) per entity_resolution.py:211-233;
 # weights[i] = log2 Bayes factor for "jw >= tiers[i]" (first tier that
@@ -83,11 +89,62 @@ def py_jaro_winkler(s1: str, s2: str, p: float = 0.1, boost: float = 0.7) -> flo
     return j
 
 
-@F.pandas_udf(T.DoubleType())
-def jw_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    return pd.Series(
-        [py_jaro_winkler(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
-    )
+def jw_tier_bound(s1: str, s2: str) -> float:
+    """Cheap UPPER BOUND on Jaro–Winkler: matches <= char-multiset
+    overlap and transpositions >= 0 give
+    ``jaro <= (m_ub/l1 + m_ub/l2 + 1) / 3``; the prefix boost is
+    monotone in jaro with prefix <= 4, so ``jw <= 0.6*jaro_ub + 0.4``
+    once jaro_ub > 0.7. Never below the true score."""
+    l1, l2 = len(s1), len(s2)
+    c1 = Counter(s1)
+    m_ub = sum(min(c1[ch], n) for ch, n in Counter(s2).items())
+    jaro_ub = (m_ub / l1 + m_ub / l2 + 1.0) / 3.0
+    return 0.6 * jaro_ub + 0.4 if jaro_ub > 0.7 else jaro_ub
+
+
+def make_jw_udf(floor: float = 0.0):
+    """JW pandas UDF with tiered early exits (the scoring hot path is
+    quadratic within blocks — the exact O(n*m) match loop must be the
+    exception, not the rule):
+
+    1. equality -> 1.0, either empty -> 0.0 (vectorized);
+    2. if the multiset upper bound is already below ``floor`` (the
+       caller's lowest tier threshold), return the bound — every value
+       below the lowest tier carries the same comparison weight, so the
+       tier outcome is IDENTICAL to the exact kernel's (the 1e-6 margin
+       keeps round(.,6) from crossing the boundary);
+    3. otherwise the exact ``py_jaro_winkler`` (bit-identical to
+       DuckDB, hypothesis-tested).
+
+    With floor=0.0 the result is exactly py_jaro_winkler on every row.
+    """
+    cut = floor - 1e-6
+
+    @F.pandas_udf(T.DoubleType())
+    def jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        a = s1.fillna("").to_numpy(dtype=object)
+        b = s2.fillna("").to_numpy(dtype=object)
+        n = len(a)
+        out = np.zeros(n, dtype=np.float64)
+        out[a == b] = 1.0
+        la = np.fromiter((len(x) for x in a), dtype=np.int64, count=n)
+        lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=n)
+        empty = (la == 0) | (lb == 0)
+        out[empty] = 0.0  # py_jaro_winkler: empty beats equality
+        for i in np.nonzero((a != b) & ~empty)[0]:
+            x, y = a[i], b[i]
+            if floor > 0.0:
+                ub = jw_tier_bound(x, y)
+                if ub < cut:
+                    out[i] = ub
+                    continue
+            out[i] = py_jaro_winkler(x, y)
+        return pd.Series(out)
+
+    return jw
+
+
+jw_udf = make_jw_udf(0.0)  # exact on every row
 
 
 def _tier_weight(jw: Column, tiers: list[float], weights: list[float]) -> Column:
@@ -101,29 +158,37 @@ def score_person_pairs(
     persons: DataFrame,
     id_col: str = "pid",
     threshold: float = DEFAULT_THRESHOLD,
+    block_cap: int = DEFAULT_CONFIG.fuzzy_block_cap,
 ) -> DataFrame:
     """Blocked comparison + fixed-weight FS score.
 
     persons: (pid, name, first_name, last_name, aliases, category),
     all lowercase. Blocking (reference blocking_rules): equal
     first_name OR equal last_name; comparison vector on the union.
-    Returns (pid1, pid2, match_probability) for p >= threshold.
+    Blocks run through ``guarded_block_pairs`` — a hot block (a common
+    first name at web scale) emits O(n) chain+star pairs instead of a
+    quadratic task, the reference's splink_max_pairs memory guard
+    (config.py:130) restated. Returns (pid1, pid2, match_probability)
+    for p >= threshold.
     """
     cols = [id_col, "name", "first_name", "last_name", "aliases", "category"]
     p = persons.select(*cols)
-    a = p.select([F.col(c).alias(f"{c}1") for c in cols])
-    b = p.select([F.col(c).alias(f"{c}2") for c in cols])
     blocked = (
-        a.join(b, F.col("first_name1") == F.col("first_name2"))
-        .unionByName(a.join(b, F.col("last_name1") == F.col("last_name2")))
-        .filter(F.col(f"{id_col}1") < F.col(f"{id_col}2"))
+        guarded_block_pairs(p, "first_name", cols, block_cap)
+        .unionByName(guarded_block_pairs(p, "last_name", cols, block_cap))
+        .select(
+            *[F.col(f"a.{c}").alias(f"{c}1") for c in cols],
+            *[F.col(f"b.{c}").alias(f"{c}2") for c in cols],
+        )
         .dropDuplicates([f"{id_col}1", f"{id_col}2"])
     )
     score = F.lit(FS_PRIOR_LOGIT2)
     for col, (tiers, weights) in FS_COMPARISONS.items():
         # round(jw, 6) on BOTH engines so tier boundaries are immune to
-        # last-ulp float differences
-        jw = F.round(jw_udf(F.col(f"{col}1"), F.col(f"{col}2")), 6)
+        # last-ulp float differences; the UDF's early-exit floor is the
+        # column's LOWEST tier — every pruned value lands in the same
+        # else-tier the exact score would
+        jw = F.round(make_jw_udf(tiers[-1])(F.col(f"{col}1"), F.col(f"{col}2")), 6)
         score = score + _tier_weight(jw, tiers, weights)
     score = score + F.when(
         F.col("category1") == F.col("category2"), F.lit(FS_CATEGORY_WEIGHTS[0])
