@@ -1272,8 +1272,71 @@ FROM ev WHERE event_id NOT IN (SELECT event_id FROM dominated)
 """
 
 
+def q_ocr_chain_select(spark, sf):
+    """OCR fallback-chain selection (reference ocr.py:789-827): plant
+    three deterministic backend candidates per document (some empty,
+    confidences derived from doc_id), accept the first >= 0.6 in chain
+    order else the best non-empty candidate, flag low confidence."""
+    from epstein_pipeline_spark.operators.ocr_chain import select_ocr_result
+
+    d = _docs(spark, sf)
+    cands = []
+    for i in range(3):
+        txt = F.when(
+            (F.col("doc_id") * 7 + i) % 5 == 0, F.lit("")
+        ).otherwise(F.substring("text", 1, 50 + i))
+        conf = F.round(((F.col("doc_id") * 31 + i * 17) % 100) / 100.0, 2)
+        cands.append(
+            F.struct(
+                F.lit(f"b{i}").alias("backend"),
+                txt.alias("text"),
+                conf.cast("double").alias("confidence"),
+            )
+        )
+    planted = d.withColumn("candidates", F.array(*cands))
+    return select_ocr_result(planted, threshold=0.6).select(
+        "doc_id",
+        "ocr_backend",
+        F.round("ocr_confidence", 2).alias("ocr_confidence"),
+        "low_confidence",
+        F.length("ocr_text").alias("ocr_len"),
+    )
+
+
+O_OCR_CHAIN = """
+WITH c AS (
+  SELECT doc_id, i,
+         'b' || CAST(i AS VARCHAR) AS backend,
+         CASE WHEN (doc_id*7 + i) % 5 = 0 THEN ''
+              ELSE substr(text, 1, 50 + CAST(i AS INT)) END AS ctext,
+         round(CAST((doc_id*31 + i*17) % 100 AS DOUBLE)/100.0, 2) AS conf
+  FROM documents, (SELECT unnest([0, 1, 2]) AS i)
+), ne AS (
+  SELECT * FROM c WHERE trim(ctext) <> ''
+), first_ok AS (
+  SELECT doc_id, backend, ctext, conf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM ne WHERE conf >= 0.6
+), best AS (
+  SELECT doc_id, backend, ctext, conf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY conf DESC, i ASC) AS rn
+  FROM ne
+)
+SELECT d.doc_id,
+       coalesce(f.backend, b.backend) AS ocr_backend,
+       coalesce(f.conf, b.conf) AS ocr_confidence,
+       (coalesce(f.conf, b.conf) IS NOT NULL
+        AND coalesce(f.conf, b.conf) < 0.6) AS low_confidence,
+       length(coalesce(f.ctext, b.ctext, '')) AS ocr_len
+FROM documents d
+LEFT JOIN (SELECT * FROM first_ok WHERE rn = 1) f USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
+    "ocr_chain_select": q_ocr_chain_select,
     "bates_overlap": q_bates_overlap,
     "title_fuzzy": q_title_fuzzy,
     "event_cooccurrence": q_event_cooccurrence,
@@ -1313,6 +1376,7 @@ QUERIES = {
 
 ORACLES = {
     "norm_hash": O_NORM_HASH,
+    "ocr_chain_select": O_OCR_CHAIN,
     "bates_overlap": O_BATES_OVERLAP,
     "title_fuzzy": O_TITLE_FUZZY,
     "event_cooccurrence": O_EVENT_COOCCURRENCE,
