@@ -256,6 +256,21 @@ def assign_ivf_cells(
     return embs.withColumn("cell", nearest_cell(F.col(vec_col)))
 
 
+def write_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Persist the IVF index ``partitionBy('cell')`` — each cell is its
+    own directory, so a probe's ``cell IN (...)`` filter becomes a
+    PartitionFilter and the scan touches only ~n_probe/n_cells of the
+    files (the plan-test-pinned property; the reference's HNSW read
+    path analog is neon_schema.py:131-142)."""
+    indexed.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Read the partitioned index back; ``cell`` returns as a partition
+    column, so downstream ``ivf_topk`` probes are partition-pruned."""
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: np.ndarray,

@@ -101,3 +101,59 @@ def test_ivf_topk_recall_vs_brute(clustered, spark):
     assert recall >= 0.9, f"IVF recall@10 {recall}"
     # probes prune: the searched subset is a strict minority of cells
     assert indexed.select("cell").distinct().count() > 4
+
+
+def test_ivf_partitioned_index_prunes_files(clustered, spark, tmp_path):
+    """write_ivf_index(partitionBy cell) -> probe reads touch ONLY the
+    probed cells' files (execution-level proof via input_file_name),
+    and the partitioned read returns the same top-k as the in-memory
+    index."""
+    import numpy as np
+
+    from epstein_pipeline_spark.operators.embed_pass import (
+        assign_ivf_cells,
+        ivf_topk,
+        read_ivf_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cent = train_ivf_centroids(clustered, n_cells=16, sample_cap=500, seed=9)
+    indexed = assign_ivf_cells(clustered, cent)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(indexed, path)
+    store = read_ivf_index(spark, path)
+
+    q = clustered.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    qn = np.asarray(q, dtype=np.float64)
+    qn /= np.linalg.norm(qn)
+    n_probe = 4
+    probes = [int(c) for c in (cent @ qn).argsort()[::-1][:n_probe]]
+
+    # the physical plan prunes partitions: files actually read under
+    # the probe filter all live in cell=<probe> directories
+    read_files = {
+        r["f"]
+        for r in store.filter(F.col("cell").isin(probes))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert read_files, "probe scan read no files"
+    assert all(any(f"cell={p}/" in f for p in probes) for f in read_files), (
+        read_files
+    )
+    # and it IS a strict subset of the index's files
+    all_files = {
+        r["f"]
+        for r in store.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(read_files) < len(all_files)
+    # the optimized plan carries the partition filter (no full scan)
+    plan = store.filter(F.col("cell").isin(probes))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # parity: partitioned-store probe == in-memory probe
+    a = [r["vec_id"] for r in ivf_topk(store, cent, list(q), k=10, n_probe=n_probe).collect()]
+    b = [r["vec_id"] for r in ivf_topk(indexed, cent, list(q), k=10, n_probe=n_probe).collect()]
+    assert a == b
