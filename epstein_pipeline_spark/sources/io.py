@@ -117,9 +117,12 @@ def write_clusters(clusters: DataFrame, path: str, fmt: str = "parquet") -> None
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, batch_size: int = 500, **options) -> None:
-    """S8/S9 stand-in: JDBC batch sink (the reference batches 500-row
-    upserts, config.py:106). Requires a JDBC driver jar on the
-    classpath — gated, not assumed, in this sandbox."""
+    """S9: JDBC batch sink (the reference batches 500-row upserts to
+    Neon Postgres, config.py:106-108). Driver-jar agnostic: the
+    container ships no Postgres driver, so the executed-coverage test
+    drives this exact code path through Spark's bundled embedded Derby
+    (same executor-side JdbcUtils batch-insert path;
+    tests/test_io_streaming.py::test_jdbc_sink_roundtrip)."""
     (
         df.write.format("jdbc")
         .option("url", url)
