@@ -69,6 +69,10 @@ class DedupConfig:
     salt_min_pairs: int = 2_000_000  # salt only when the edge list is
     # big enough for a hub to dominate one task; below this the salt's
     # per-round replicate/explode overhead exceeds any skew it removes
+    salt_hot_degree: int = 500_000  # differentiated salting: only
+    # roots at/above this degree are salted (their min-label rows
+    # replicate x salt_buckets); colder keys join unsalted, so the
+    # salt overhead scales with the hub count, not the node count
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

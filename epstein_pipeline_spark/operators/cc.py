@@ -27,37 +27,69 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _salted_join(adj: DataFrame, m: DataFrame, salt: int) -> DataFrame:
-    """adj(src, dst) ⋈ m(src, m) with the hot-key salt trick.
+def _salted_join(
+    adj: DataFrame, m: DataFrame, salt: int, hot_min: int = 500_000
+) -> DataFrame:
+    """adj(src, dst) ⋈ m(src, m, deg) with DIFFERENTIATED hot-key
+    salting.
 
     A mega-cluster root is a single src key carrying the whole
     component's adjacency — one shuffle partition does all its work.
-    Salting splits the BIG side by hash(dst) into ``salt`` sub-keys and
-    replicates the tiny min-label side across them (the groupBy
-    producing ``m`` itself is safe: min() partial-aggregates map-side),
-    so the hub's rows spread over ``salt`` tasks. This is the explicit
-    salted-keys handling the north rule names; AQE skew-join remains
-    the runtime backstop for skew the salt factor underestimates.
+    Only keys with ``deg >= hot_min`` get salted: their adj rows split
+    by hash(dst) into ``salt`` sub-keys and ONLY their (src, m) rows
+    replicate across them; everything else joins on sub-key 0
+    unchanged. Blanket salting (replicate the whole m side x salt) was
+    measured 1.6x SLOWER at 4.5M edges (scripts/measure_cc_salting.py)
+    because the replication overhead scales with node count — the
+    differentiated form scales it with the number of hubs, which is
+    what a 10^12-page corpus with host-domain skew actually has. Hot
+    keys are tagged via a broadcast of the (few) hub ids; min()/count()
+    partial-aggregate map-side, so computing ``deg`` is free. AQE
+    skew-join remains the runtime backstop for skew under hot_min.
     """
     if salt <= 1:
-        return adj.join(m, "src")
-    salted = adj.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt)))
-    replicated = m.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        return adj.join(m.select("src", "m"), "src")
+    # m feeds THREE consumers below (hot-key broadcast, replication,
+    # and nothing else reuses it) — without a checkpoint the groupBy
+    # aggregation behind it would run once per consumer per round
+    m = m.localCheckpoint(eager=False)
+    hot_keys = m.filter(F.col("deg") >= F.lit(hot_min)).select("src")
+    tagged = adj.join(
+        F.broadcast(hot_keys.withColumn("_hot", F.lit(True))), "src", "left"
+    )
+    salted = tagged.withColumn(
+        "_salt",
+        F.when(F.col("_hot"), F.pmod(F.xxhash64("dst"), F.lit(salt)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).drop("_hot")
+    replicated = m.select(
+        "src",
+        "m",
+        F.explode(
+            F.when(
+                F.col("deg") >= F.lit(hot_min),
+                F.sequence(F.lit(0), F.lit(salt - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("_salt"),
     )
     return salted.join(replicated, ["src", "_salt"]).drop("_salt")
 
 
-def _large_star(edges: DataFrame, salt: int = 1) -> DataFrame:
+def _large_star(edges: DataFrame, salt: int = 1, hot_min: int = 500_000) -> DataFrame:
     """edges: (src, dst) symmetric. Emit (v, m) for v > u."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m"),
+        F.count(F.lit(1)).alias("deg"),
+    )
     return (
-        _salted_join(sym, m, salt)
+        _salted_join(sym, m, salt, hot_min)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -65,13 +97,15 @@ def _large_star(edges: DataFrame, salt: int = 1) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame, salt: int = 1) -> DataFrame:
+def _small_star(edges: DataFrame, salt: int = 1, hot_min: int = 500_000) -> DataFrame:
     """edges oriented (src > dst). Emit (v, m) for v in N-(u) ∪ {u}."""
     down = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    m = down.groupBy("src").agg(F.min("dst").alias("m"))
-    j = _salted_join(down, m, salt)
+    m = down.groupBy("src").agg(
+        F.min("dst").alias("m"), F.count(F.lit(1)).alias("deg")
+    )
+    j = _salted_join(down, m, salt, hot_min)
     to_nbrs = j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     to_self = j.select("src", F.col("m").alias("dst")).distinct()
     return (
@@ -96,14 +130,27 @@ def connected_components(
     checkpoint_every: int = 3,
     loop_shuffle_partitions: int | None = None,
     salt_buckets: int = 1,
+    salt_hot_degree: int = 500_000,
+    local_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label pairs' transitive closure: returns (url, cluster_id) where
     cluster_id = min url in the component.
 
     ``pairs`` needs columns url1/url2. If ``nodes`` (one column url) is
     given, singletons get cluster_id = their own url.
-    ``salt_buckets > 1`` salts the star joins' hot root keys
-    (host-domain / mega-cluster skew — see ``_salted_join``).
+    ``salt_buckets > 1`` salts the star joins' hot root keys with
+    degree >= ``salt_hot_degree`` (host-domain / mega-cluster skew —
+    see ``_salted_join``; cold keys join unsalted).
+
+    SIZE-GATED HYBRID (the broadcast-join pattern applied to CC): an
+    edge list at or under ``local_max_edges`` rows is collected and
+    labeled by the reference's own path-halving union-find
+    (dedup.py:183-206) in one pass — the distributed loop's 4-6 s of
+    per-round job-scheduling floors (O(log n) rounds x several
+    shuffles each) dwarf the actual work on small graphs, and those
+    floors do not shrink with executors. 1M edges is ~50 MB on the
+    driver; a 10^12-page corpus is far past the gate and runs the
+    star loop. ``local_max_edges=0`` forces the distributed path.
 
     The edge list is orders of magnitude smaller than the corpus, so
     the loop runs at ``loop_shuffle_partitions`` (task-launch latency
@@ -112,6 +159,12 @@ def connected_components(
     edges_bytes / 64MB.
     """
     spark = pairs.sparkSession
+    if local_max_edges > 0:
+        # limit+count instead of a full count: past the gate we only
+        # need to know "too big", not how big
+        sample = pairs.limit(local_max_edges + 1).count()
+        if sample <= local_max_edges:
+            return _cc_local(pairs, nodes)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if loop_shuffle_partitions is None:
         # tiny-loop default: a handful of tasks per core — at 32+
@@ -121,9 +174,33 @@ def connected_components(
         loop_shuffle_partitions = max(8, 2 * spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
     try:
-        return _cc_loop(pairs, nodes, max_iters, checkpoint_every, salt_buckets)
+        return _cc_loop(
+            pairs, nodes, max_iters, checkpoint_every, salt_buckets, salt_hot_degree
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _cc_local(pairs: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Driver-side union-find for gate-sized edge lists. Labels are
+    IDENTICAL to the star loop's (min-id roots; `<` on the id type —
+    Python string compare and Spark's UTF8 binary compare agree)."""
+    spark = pairs.sparkSession
+    rows = pairs.select("url1", "url2").collect()
+    labels = py_union_find([(r["url1"], r["url2"]) for r in rows])
+    dt = pairs.schema["url1"].dataType
+    schema = T.StructType(
+        [T.StructField("url", dt), T.StructField("cluster_id", dt)]
+    )
+    out = spark.createDataFrame(list(labels.items()), schema)
+    if nodes is not None:
+        out = (
+            nodes.select(F.col(nodes.columns[0]).alias("url"))
+            .distinct()
+            .join(out, "url", "left")
+            .select("url", F.coalesce("cluster_id", "url").alias("cluster_id"))
+        )
+    return out
 
 
 def _cc_loop(
@@ -132,6 +209,7 @@ def _cc_loop(
     max_iters: int,
     checkpoint_every: int,
     salt_buckets: int = 1,
+    salt_hot_degree: int = 500_000,
 ) -> DataFrame:
     edges = pairs.select(F.col("url1").alias("src"), F.col("url2").alias("dst")).filter(
         F.col("src") != F.col("dst")
@@ -139,7 +217,11 @@ def _cc_loop(
 
     prev = None
     for it in range(max_iters):
-        edges = _small_star(_large_star(edges, salt_buckets), salt_buckets)
+        edges = _small_star(
+            _large_star(edges, salt_buckets, salt_hot_degree),
+            salt_buckets,
+            salt_hot_degree,
+        )
         # LAZY localCheckpoint: the digest action right below both
         # materializes the checkpoint and computes the convergence
         # digest in ONE job per round (eager=True would run a separate

@@ -207,7 +207,7 @@ def run_dedup(
         lambda: connected_components(
             pairs, nodes=docs.select("url"),
             max_iters=cfg.cc_max_iters, checkpoint_every=cfg.cc_checkpoint_every,
-            salt_buckets=salt,
+            salt_buckets=salt, salt_hot_degree=cfg.salt_hot_degree,
         ),
     )
 

@@ -60,9 +60,13 @@ def main() -> None:
     n_edges = edges.count()
     hot_degree = mega_nodes // 2 + 1  # star + one chain hop
 
+    hot_min = int(os.environ.get("CC_SALT_HOT_DEGREE", "500000"))
+
     def run(salt: int) -> tuple[float, int]:
         t0 = time.time()
-        labels = connected_components(edges, salt_buckets=salt)
+        labels = connected_components(
+            edges, salt_buckets=salt, salt_hot_degree=hot_min, local_max_edges=0
+        )
         n = labels.count()
         return time.time() - t0, n
 
@@ -75,8 +79,8 @@ def main() -> None:
             times[salt].append(dt)
 
     # parity: salted and unsalted labels identical
-    l1 = connected_components(edges, salt_buckets=1)
-    l8 = connected_components(edges, salt_buckets=8)
+    l1 = connected_components(edges, salt_buckets=1, local_max_edges=0)
+    l8 = connected_components(edges, salt_buckets=8, salt_hot_degree=hot_min, local_max_edges=0)
     mism = (
         l1.withColumnRenamed("cluster_id", "c1")
         .join(l8.withColumnRenamed("cluster_id", "c8"), "url", "full")
@@ -89,6 +93,7 @@ def main() -> None:
         "mega_nodes": mega_nodes,
         "edges": n_edges,
         "hot_root_degree": hot_degree,
+        "salt_hot_degree": hot_min,
         "labels_sec_unsalted": round(min(times[1]), 2),
         "labels_sec_salted8": round(min(times[8]), 2),
         "label_mismatches": mism,

@@ -11,15 +11,21 @@ from epstein_pipeline_spark.operators.cc import connected_components, py_union_f
 def _check(spark, edges: list[tuple[str, str]], nodes: list[str] | None = None):
     pairs = spark.createDataFrame(edges, "url1 string, url2 string")
     nodes_df = spark.createDataFrame([(n,) for n in nodes], "url string") if nodes else None
-    got = {
-        r["url"]: r["cluster_id"]
-        for r in connected_components(pairs, nodes=nodes_df).collect()
-    }
     want = py_union_find(edges)
     if nodes:
         for n in nodes:
             want.setdefault(n, n)
-    assert got == want
+    # BOTH paths of the size-gated hybrid must match the oracle:
+    # local_max_edges=0 forces the distributed star loop; the default
+    # takes the driver union-find fallback on these small graphs
+    for local_max in (0, 1_000_000):
+        got = {
+            r["url"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, nodes=nodes_df, local_max_edges=local_max
+            ).collect()
+        }
+        assert got == want, f"local_max_edges={local_max}"
 
 
 def test_simple_chain(spark):
@@ -64,8 +70,13 @@ def test_salted_cc_matches_union_find(spark):
     edges += [(nodes[rng.randint(0, 80)], nodes[rng.randint(0, 80)]) for _ in range(30)]
     edges = [(a, b) for a, b in edges if a != b]
     pairs = spark.createDataFrame(edges, "url1 string, url2 string")
+    # salt_hot_degree=5 forces the hub (degree ~40) onto the SALTED
+    # path while low-degree nodes stay cold — both join branches of the
+    # differentiated salt run and must agree with union-find exactly
     got = {
         r["url"]: r["cluster_id"]
-        for r in connected_components(pairs, salt_buckets=8).collect()
+        for r in connected_components(
+            pairs, salt_buckets=8, salt_hot_degree=5, local_max_edges=0
+        ).collect()
     }
     assert got == py_union_find(edges)
