@@ -1219,6 +1219,73 @@ WHERE round(pow(2.0, s) / (1.0 + pow(2.0, s)), 6) >= 0.85
 O_ENTITY_RESOLUTION = _er_oracle()
 
 
+def q_em_gamma_patterns(spark, sf):
+    """Splink-style EM training input: distinct comparison-vector
+    (gamma) pattern counts over the blocked pair stream
+    (entity_resolution.py:209-233). The EM loop itself is driver-side
+    over THIS bounded table — so the oracle pins the entire cluster
+    side of weight training."""
+    from epstein_pipeline_spark.operators.em_training import (
+        gamma_pattern_counts,
+        pair_gammas,
+    )
+    from epstein_pipeline_spark.operators.resolution import blocked_person_pairs
+
+    g = gamma_pattern_counts(
+        pair_gammas(blocked_person_pairs(_er_persons(spark, sf), "pid"), "pid")
+    )
+    return g.select(
+        "g_name", "g_first_name", "g_last_name", "g_aliases", "g_category", "n_pairs"
+    )
+
+
+def _em_gamma_oracle() -> str:
+    from epstein_pipeline_spark.operators.resolution import FS_COMPARISONS
+
+    firsts = _duck_list(_ER_FIRSTS)
+    lasts = _duck_list(_ER_LASTS)
+    gcols = []
+    for col, (tiers, _w) in FS_COMPARISONS.items():
+        jw = f"round(jaro_winkler_similarity(a.{col}, b.{col}), 6)"
+        branches = " ".join(f"WHEN {jw} >= {t} THEN {i}" for i, t in enumerate(tiers))
+        gcols.append(f"CAST(CASE {branches} ELSE {len(tiers)} END AS INT) AS g_{col}")
+    gcols.append(
+        "CAST(CASE WHEN a.category = b.category THEN 0 ELSE 1 END AS INT) AS g_category"
+    )
+    gamma_select = ",\n         ".join(gcols)
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS pid,
+         {firsts}[CAST(c_custkey % 16 + 1 AS INT)] AS first_name,
+         {lasts}[CAST((c_custkey // 16) % 16 + 1 AS INT)] AS last_name,
+         lower(c_mktsegment) AS category
+  FROM customer
+), persons0 AS (
+  SELECT pid, first_name, last_name, category FROM base
+  UNION ALL
+  SELECT pid + 1000000, first_name,
+         substr(last_name, 1, length(last_name) - 1), category
+  FROM base WHERE pid % 20 = 0
+), p AS (
+  SELECT pid, first_name || ' ' || last_name AS name, first_name, last_name,
+         substr(first_name, 1, 1) || '. ' || last_name AS aliases, category
+  FROM persons0
+), gam AS (
+  SELECT {gamma_select}
+  FROM p a JOIN p b
+    ON (a.first_name = b.first_name OR a.last_name = b.last_name)
+   AND a.pid < b.pid
+)
+SELECT g_name, g_first_name, g_last_name, g_aliases, g_category,
+       count(*) AS n_pairs
+FROM gam
+GROUP BY ALL
+"""
+
+
+O_EM_GAMMA_PATTERNS = _em_gamma_oracle()
+
+
 # ---------------------------------------------------------------------------
 # A12: temporal-event dedup (word-overlap gate)
 # ---------------------------------------------------------------------------
@@ -1369,6 +1436,7 @@ QUERIES = {
     "dedup_clusters_planted": q_dedup_clusters_planted,
     "entity_extract": q_entity_extract,
     "entity_resolution": q_entity_resolution,
+    "em_gamma_patterns": q_em_gamma_patterns,
     "temporal_dedup": q_temporal_dedup,
     "exact_cc_clusters_planted": q_exact_cc_clusters_planted,
     "ivf_topk": q_ivf_topk,
@@ -1405,6 +1473,7 @@ ORACLES = {
     "cosine_pairs": O_COSINE_PAIRS,
     "entity_extract": O_ENTITY_EXTRACT,
     "entity_resolution": O_ENTITY_RESOLUTION,
+    "em_gamma_patterns": O_EM_GAMMA_PATTERNS,
     "temporal_dedup": O_TEMPORAL_DEDUP,
     "exact_cc_clusters_planted": O_EXACT_CC_CLUSTERS,
     "ivf_topk": O_SEMANTIC_TOPK,

@@ -154,26 +154,24 @@ def _tier_weight(jw: Column, tiers: list[float], weights: list[float]) -> Column
     return expr
 
 
-def score_person_pairs(
+def blocked_person_pairs(
     persons: DataFrame,
     id_col: str = "pid",
-    threshold: float = DEFAULT_THRESHOLD,
     block_cap: int = DEFAULT_CONFIG.fuzzy_block_cap,
 ) -> DataFrame:
-    """Blocked comparison + fixed-weight FS score.
+    """Blocked candidate pairs for entity resolution.
 
-    persons: (pid, name, first_name, last_name, aliases, category),
-    all lowercase. Blocking (reference blocking_rules): equal
-    first_name OR equal last_name; comparison vector on the union.
-    Blocks run through ``guarded_block_pairs`` — a hot block (a common
-    first name at web scale) emits O(n) chain+star pairs instead of a
-    quadratic task, the reference's splink_max_pairs memory guard
-    (config.py:130) restated. Returns (pid1, pid2, match_probability)
-    for p >= threshold.
+    Blocking (reference blocking_rules, entity_resolution.py:189-192):
+    equal first_name OR equal last_name; union deduplicated on the id
+    pair. Blocks run through ``guarded_block_pairs`` — a hot block (a
+    common first name at web scale) emits O(n) chain+star pairs
+    instead of a quadratic task, the reference's splink_max_pairs
+    memory guard (config.py:130) restated. Returns one row per pair
+    with every payload column duplicated as ``<col>1`` / ``<col>2``.
     """
     cols = [id_col, "name", "first_name", "last_name", "aliases", "category"]
     p = persons.select(*cols)
-    blocked = (
+    return (
         guarded_block_pairs(p, "first_name", cols, block_cap)
         .unionByName(guarded_block_pairs(p, "last_name", cols, block_cap))
         .select(
@@ -182,8 +180,33 @@ def score_person_pairs(
         )
         .dropDuplicates([f"{id_col}1", f"{id_col}2"])
     )
-    score = F.lit(FS_PRIOR_LOGIT2)
-    for col, (tiers, weights) in FS_COMPARISONS.items():
+
+
+def score_person_pairs(
+    persons: DataFrame,
+    id_col: str = "pid",
+    threshold: float = DEFAULT_THRESHOLD,
+    block_cap: int = DEFAULT_CONFIG.fuzzy_block_cap,
+    comparisons: dict[str, tuple[list[float], list[float]]] | None = None,
+    category_weights: tuple[float, float] | None = None,
+    prior: float | None = None,
+) -> DataFrame:
+    """Blocked comparison + Fellegi–Sunter score.
+
+    persons: (pid, name, first_name, last_name, aliases, category),
+    all lowercase. Weights default to the fixed FS_COMPARISONS table;
+    pass the output of ``em_training.train_resolution_weights`` for
+    Splink-style EM-trained weights instead. Returns
+    (pid1, pid2, match_probability) for p >= threshold.
+    """
+    comparisons = FS_COMPARISONS if comparisons is None else comparisons
+    category_weights = (
+        FS_CATEGORY_WEIGHTS if category_weights is None else category_weights
+    )
+    prior = FS_PRIOR_LOGIT2 if prior is None else prior
+    blocked = blocked_person_pairs(persons, id_col, block_cap)
+    score = F.lit(prior)
+    for col, (tiers, weights) in comparisons.items():
         # round(jw, 6) on BOTH engines so tier boundaries are immune to
         # last-ulp float differences; the UDF's early-exit floor is the
         # column's LOWEST tier — every pruned value lands in the same
@@ -191,8 +214,8 @@ def score_person_pairs(
         jw = F.round(make_jw_udf(tiers[-1])(F.col(f"{col}1"), F.col(f"{col}2")), 6)
         score = score + _tier_weight(jw, tiers, weights)
     score = score + F.when(
-        F.col("category1") == F.col("category2"), F.lit(FS_CATEGORY_WEIGHTS[0])
-    ).otherwise(F.lit(FS_CATEGORY_WEIGHTS[1]))
+        F.col("category1") == F.col("category2"), F.lit(category_weights[0])
+    ).otherwise(F.lit(category_weights[1]))
     prob = F.pow(F.lit(2.0), score) / (F.lit(1.0) + F.pow(F.lit(2.0), score))
     return (
         blocked.withColumn("match_probability", F.round(prob, 6))
@@ -206,15 +229,36 @@ def score_person_pairs(
 
 
 def resolve_persons(
-    persons: DataFrame, id_col: str = "pid", threshold: float = DEFAULT_THRESHOLD
+    persons: DataFrame,
+    id_col: str = "pid",
+    threshold: float = DEFAULT_THRESHOLD,
+    train: bool = False,
 ) -> DataFrame:
     """Full pass: score -> threshold -> connected components.
     Returns (pid, canonical_id) with canonical_id = min pid in the
     matched cluster (reference clusters pairwise predictions at the
-    same threshold, entity_resolution.py:236-238)."""
+    same threshold, entity_resolution.py:236-238).
+
+    ``train=True`` first runs the Splink-style EM training pass
+    (``em_training.train_resolution_weights``) and scores with the
+    learned weights instead of the fixed table — the reference's
+    estimate-u / estimate-prior / EM sequence
+    (entity_resolution.py:199-233)."""
     from epstein_pipeline_spark.operators.cc import connected_components
 
-    pairs = score_person_pairs(persons, id_col, threshold).select(
+    kw: dict = {}
+    if train:
+        from epstein_pipeline_spark.operators.em_training import (
+            train_resolution_weights,
+        )
+
+        trained = train_resolution_weights(persons, id_col=id_col)
+        kw = dict(
+            comparisons=trained.comparisons,
+            category_weights=trained.category_weights,
+            prior=trained.prior_logit2,
+        )
+    pairs = score_person_pairs(persons, id_col, threshold, **kw).select(
         F.col("pid1").cast("string").alias("url1"),
         F.col("pid2").cast("string").alias("url2"),
     )

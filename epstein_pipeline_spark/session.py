@@ -45,7 +45,14 @@ def get_spark(
         # otherwise a "2-core" run borrows helper-thread time and
         # scaling measurements lie. Only effective on the process's
         # FIRST SparkContext (JVM flags are set at launch).
-        .config("spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={n}")
+        # derby.stream.error.file: the embedded Derby JDBC driver
+        # (test/bench sink) writes derby.log into user.dir by default —
+        # keep it out of the repo working tree.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={n} "
+            "-Dderby.stream.error.file=/tmp/derby.log",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
