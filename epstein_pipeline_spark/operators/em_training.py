@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from epstein_pipeline_spark.config import DEFAULT_CONFIG
 from epstein_pipeline_spark.operators.resolution import (
     FS_COMPARISONS,
-    blocked_person_pairs,
     make_jw_udf,
 )
 

@@ -7,7 +7,8 @@ Reference: person substring scan over document text
 
 Spark restatement: the registry (persons + exploded aliases) is a
 small dimension — broadcast join with a ``contains`` predicate; the
-fuzzy tier is a token_sort levenshtein rescue for mentions that missed
+fuzzy tier is an exact fuzz.token_sort_ratio rescue (InDel over
+token-sorted strings, confidence.py:98) for mentions that missed
 exact containment.
 """
 
@@ -50,7 +51,8 @@ def fuzzy_match_mentions(
     mentions: DataFrame, persons: DataFrame, threshold: float = 0.85
 ) -> DataFrame:
     """Best fuzzy registry match per mention string (W2 argmax):
-    token-sort levenshtein ratio >= threshold, highest wins."""
+    exact fuzz.token_sort_ratio >= threshold, highest wins
+    (confidence.py:98-105)."""
     from pyspark.sql import Window
 
     reg = explode_registry(persons)

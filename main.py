@@ -7,6 +7,9 @@ Usage:
 
   spark-submit ... main.py synth --pages 10000 --output <parquet dir>
 
+  spark-submit ... main.py resolve --input <persons parquet> \\
+      --output <resolution parquet> [--threshold 0.85] [--train]
+
 The dedup job reads the pages table (url, warc_ts, html, text, lang),
 runs extract -> exact -> MinHash/LSH -> SimHash -> LCS -> connected
 components -> clusters with per-stage committed checkpoints, and
@@ -57,6 +60,39 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_resolve(args) -> None:
+    """Probabilistic entity resolution over a persons table
+    (reference cli.py:2145-2199 resolve-entities): score blocked pairs
+    with Fellegi-Sunter weights — EM-trained when --train — cluster at
+    the threshold, report input/cluster/merge counts."""
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.operators.resolution import resolve_persons
+
+    spark = SparkSession.builder.appName("epstein_pipeline_spark.resolve").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    persons = spark.read.parquet(args.input)
+    t0 = time.time()
+    res = resolve_persons(
+        persons, threshold=args.threshold, train=args.train
+    )
+    res.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n_in = out.count()
+    n_clusters = out.select("canonical_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "input_records": n_in,
+                "clusters": n_clusters,
+                "merges": n_in - n_clusters,
+                "trained": bool(args.train),
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_synth(args) -> None:
     from pyspark.sql import SparkSession
 
@@ -81,6 +117,13 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--no-lcs", action="store_true")
     d.add_argument("--no-resume", action="store_true")
     d.set_defaults(fn=cmd_dedup)
+
+    r = sub.add_parser("resolve", help="probabilistic entity resolution over a persons table")
+    r.add_argument("--input", required=True, help="persons parquet: pid, name, first_name, last_name, aliases, category")
+    r.add_argument("--output", required=True)
+    r.add_argument("--threshold", type=float, default=0.85)
+    r.add_argument("--train", action="store_true", help="EM-train FS weights first (Splink training sequence)")
+    r.set_defaults(fn=cmd_resolve)
 
     s = sub.add_parser("synth", help="write a deterministic synthetic pages corpus")
     s.add_argument("--pages", type=int, default=10000)

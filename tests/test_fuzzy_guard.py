@@ -213,3 +213,73 @@ def test_resolution_hot_block_guarded(spark):
     # candidate count, which the guard bounds at 2n-3 per hot block
     out = score_person_pairs(persons, threshold=0.0, block_cap=cap).collect()
     assert 0 < len(out) <= 2 * n - 3
+
+
+# ---------------------------------------------------------------------------
+# token_sort_ratio: exact fuzz.token_sort_ratio semantics (confidence.py:98)
+# ---------------------------------------------------------------------------
+
+def test_token_sort_ratio_pinned_examples():
+    from epstein_pipeline_spark.functions.fuzzy import py_token_sort_ratio
+
+    # fuzz.token_sort_ratio("new york mets", "mets new york") == 100
+    assert py_token_sort_ratio("new york mets", "mets new york") == 1.0
+    # sorted: "mets new york" vs "meats new york" -> InDel over joins
+    assert py_token_sort_ratio("new york mets", "new york meats") == pytest.approx(
+        py_indel_ratio("mets new york", "meats new york")
+    )
+    assert py_token_sort_ratio("", "") == 1.0
+    assert py_token_sort_ratio("  a  b ", "b a") == 1.0  # whitespace runs collapse
+
+
+def test_token_sort_expr_matches_py_twin(spark):
+    from epstein_pipeline_spark.functions.fuzzy import (
+        py_token_sort_ratio,
+        token_sort_ratio_expr,
+    )
+    from epstein_pipeline_spark.functions.text import py_normalize_text
+
+    rows = [
+        ("john alpha", "alpha john"),
+        ("Mary  Beta", "beta mary x"),
+        ("a b c", "c b a"),
+        ("one two", "three four"),
+        ("", "x"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["s"]
+        for r in df.withColumn(
+            "s", F.round(token_sort_ratio_expr(F.col("a"), F.col("b")), 6)
+        ).collect()
+    }
+    for a, b in rows:
+        want = round(py_token_sort_ratio(py_normalize_text(a), py_normalize_text(b)), 6)
+        assert got[(a, b)] == pytest.approx(want), (a, b)
+
+
+def test_fuzzy_match_mentions_argmax(spark):
+    from epstein_pipeline_spark.operators.registry import fuzzy_match_mentions
+
+    persons = spark.createDataFrame(
+        [
+            ("p-0001", "John Alpha", ["J. Alpha"]),
+            ("p-0002", "Mary Beta", []),
+            ("p-0003", "Joan Alpin", []),
+        ],
+        "id string, name string, aliases array<string>",
+    )
+    mentions = spark.createDataFrame(
+        [("John  Alpha",), ("mary betaa",), ("zzz qqq",)], "mention string"
+    )
+    got = {
+        r["mention"]: (r["person_id"], r["score"])
+        for r in fuzzy_match_mentions(mentions, persons, threshold=0.8).collect()
+    }
+    # normalize collapses the double space; token-sorted exact -> 1.0
+    # (first-char block: 'j' pairs it with john alpha / joan alpin)
+    assert got["John  Alpha"] == ("p-0001", 1.0)
+    # "beta maryy"? sorted: "betaa mary" vs "beta mary" -> 2*9/19
+    assert got["mary betaa"][0] == "p-0002"
+    assert got["mary betaa"][1] == pytest.approx(round(2 * 9 / 19, 6))
+    assert "zzz qqq" not in got
