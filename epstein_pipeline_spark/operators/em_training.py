@@ -202,6 +202,12 @@ def em_train(
     comparisons = FS_COMPARISONS if comparisons is None else comparisons
     lv = _levels(comparisons, include_category)
     cols = list(lv)
+    if not patterns:  # no blocked pairs at all -> keep the init params
+        return (
+            {c: _norm(4.0 ** -np.arange(nl, dtype=np.float64)) for c, nl in lv.items()},
+            lam0,
+            0,
+        )
     n_p = np.array([p["n_pairs"] for p in patterns], dtype=np.float64)
     g = {c: np.array([p[f"g_{c}"] for p in patterns], dtype=np.int64) for c in cols}
     # init m concentrated on the strongest level, geometric falloff

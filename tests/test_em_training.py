@@ -148,3 +148,20 @@ def test_trained_resolution_recovers_planted_twins(spark):
     for pid, cid in res.items():
         by_cluster.setdefault(cid, set()).add(pid % 1_000_000)
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_em_train_empty_patterns_keeps_init():
+    m, lam, it = em_train([], {"name": np.ones(4) / 4, "category": np.ones(2) / 2}, 0.01)
+    assert it == 0 and lam == 0.01
+    assert all(np.isfinite(v).all() for v in m.values())
+
+
+def test_trained_resolution_on_near_unique_corpus(spark):
+    """Only ONE planted identity group (pid 0 + its twin + its copy;
+    pid % k == 0 always fires at 0): training on a nearly-all-unique
+    corpus must merge exactly that group and invent nothing else."""
+    p = _persons(spark, n=60, twin_every=10**9, copy_every=10**9)
+    res = {int(r["pid"]): r["canonical_id"] for r in resolve_persons(p, train=True).collect()}
+    assert len(res) == 62
+    assert res[0] == res[1_000_000] == res[2_000_000]
+    assert len(set(res.values())) == 60  # 59 singletons + the pid-0 group
