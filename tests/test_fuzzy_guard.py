@@ -283,3 +283,17 @@ def test_fuzzy_match_mentions_argmax(spark):
     assert got["mary betaa"][0] == "p-0002"
     assert got["mary betaa"][1] == pytest.approx(round(2 * 9 / 19, 6))
     assert "zzz qqq" not in got
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="ab cd", max_size=16),
+    st.text(alphabet="ab cd", max_size=16),
+)
+def test_token_sort_ratio_matches_naive_composition(a, b):
+    from epstein_pipeline_spark.functions.fuzzy import py_token_sort_ratio
+
+    want = _naive_indel_ratio(
+        " ".join(sorted(a.split())), " ".join(sorted(b.split()))
+    )
+    assert abs(py_token_sort_ratio(a, b) - want) < 1e-12
