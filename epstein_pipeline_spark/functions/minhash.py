@@ -74,22 +74,33 @@ def _signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """128-slot min over universal hashes, mod 2^61-1."""
     if hashes.shape[0] == 0:
         return np.full(a.shape[0], _EMPTY_SIG_SEED, dtype=np.uint64)
-    h = (hashes % _MERSENNE).astype(np.uint64)
     with np.errstate(over="ignore"):
+        h = _fold61(hashes.astype(np.uint64, copy=True))
         # (num_perm, n) broadcast; for long docs chunk to bound memory
         out = np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
         step = max(1, 4_000_000 // max(1, a.shape[0]))
         for i in range(0, h.shape[0], step):
             chunk = h[i : i + step]
-            # deliberate: `% 2^61-1` could be the ~2x-faster Mersenne
-            # fold ((x >> 61) + (x & M), one conditional subtract),
-            # bit-identical output. Unapplied because signatures are
-            # the bench's best-scaling stage and halving it erodes the
-            # measured N->4N efficiency cushion (BASELINE.md round 3);
-            # at real cluster scale apply it — free throughput.
-            vals = (a[:, None] * chunk[None, :] + b[:, None]) % _MERSENNE
-            np.minimum(out, vals.min(axis=1), out)
+            y = a[:, None] * chunk[None, :]
+            y += b[:, None]
+            _fold61(y)
+            np.minimum(out, y.min(axis=1), out)
     return out
+
+
+def _fold61(y: np.ndarray) -> np.ndarray:
+    """In-place ``y % (2^61-1)`` via the Mersenne fold: 2^61 = 1
+    (mod M) so y = q*2^61 + r = q + r (mod M) with q = y >> 61 < 8,
+    q + r < 2M -> one conditional subtract. Bit-identical to ``% M``
+    for every uint64 (property-tested); in-place shift/and/add avoids
+    the modulo and its temporaries — measured 1.2x (2k-shingle docs)
+    to 2.9x (30k-element chunks) over ``%`` on the signature
+    broadcast, numpy 1.26."""
+    f = y >> np.uint64(61)
+    y &= _MERSENNE
+    y += f
+    np.subtract(y, _MERSENNE, out=y, where=(y >= _MERSENNE))
+    return y
 
 
 def make_minhash_udf(k: int = 5, num_perm: int = 128, seed: int = 1):

@@ -73,3 +73,21 @@ def test_signature_jaccard_expr(spark):
         signature_jaccard_expr(udf("a"), udf("b"), CFG.num_perm).alias("j")
     ).first()["j"]
     assert out == 1.0
+
+
+def test_fold61_bit_identical_to_modulo():
+    """The Mersenne fold must equal % (2^61-1) for every uint64,
+    including the wrap boundary cases."""
+    import numpy as np
+
+    from epstein_pipeline_spark.functions.minhash import _MERSENNE, _fold61
+
+    rng = np.random.RandomState(9)
+    y = rng.randint(0, np.iinfo(np.uint64).max, size=200_000, dtype=np.uint64)
+    edge = np.array(
+        [0, 1, int(_MERSENNE) - 1, int(_MERSENNE), int(_MERSENNE) + 1,
+         2 * int(_MERSENNE), (1 << 64) - 1, 1 << 61, (1 << 61) + 5],
+        dtype=np.uint64,
+    )
+    for arr in (y, edge):
+        assert (_fold61(arr.copy()) == arr % _MERSENNE).all()
