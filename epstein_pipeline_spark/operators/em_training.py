@@ -132,8 +132,23 @@ def estimate_u(
     n = persons.count()
     s = min(n, max(2, math.isqrt(2 * max_pairs) + 1))
     cols = [id_col, *_PERSON_COLS]
-    frac = min(1.0, 3.0 * s / max(n, 1))
-    samp = persons.select(*cols).sample(frac, seed=seed).limit(s)
+    # hash-ranked sampling (not sample().limit()): membership depends
+    # only on (id, seed), never on partitioning or row order, so the
+    # trained weights are reproducible on any cluster size — the same
+    # determinism contract as the IVF k-means sample. The narrow hash
+    # filter keeps ~1.25*s candidates; the orderBy that breaks the tie
+    # down to exactly s sorts only those, not the corpus. 2^62 scale:
+    # 2^63 overflows the JVM long literal.
+    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1 << 62))
+    thresh = int(min(1.0, 1.25 * s / max(n, 1)) * (1 << 62))
+    samp = (
+        persons.select(*cols)
+        .withColumn("_h", h)
+        .filter(F.col("_h") < F.lit(thresh))
+        .orderBy("_h", id_col)
+        .limit(s)
+        .drop("_h")
+    )
     a = samp.select(*[F.col(c).alias(f"{c}1") for c in cols])
     b = samp.select(*[F.col(c).alias(f"{c}2") for c in cols])
     pairs = a.crossJoin(b).filter(F.col(f"{id_col}1") < F.col(f"{id_col}2"))

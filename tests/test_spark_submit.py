@@ -66,3 +66,23 @@ def test_spark_submit_synth_then_dedup(zipfile_path, tmp_path):
     res3 = json.loads(out3.strip().splitlines()[-1])
     assert all(v == 0.0 for v in res3["stage_seconds"].values()), res3["stage_seconds"]
     assert res3["clusters_rows"] == res["clusters_rows"]
+
+
+def test_spark_submit_resolve_trained(zipfile_path, tmp_path, spark):
+    """The resolve subcommand through the real binary: planted
+    twins/copies merge under EM-trained weights (references the same
+    surface as cli.py:2145 resolve-entities)."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_em_training import _persons
+
+    persons = tmp_path / "persons"
+    _persons(spark, n=120).write.mode("overwrite").parquet(str(persons))
+
+    out = _submit(
+        zipfile_path, "resolve", "--input", str(persons),
+        "--output", str(tmp_path / "resolved"), "--train",
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    # n=120 -> 20 twins (pid%6==0) + 12 copies (pid%10==0) = 32 merges
+    assert res["input_records"] == 152
+    assert res["merges"] == 32 and res["trained"] is True
