@@ -137,7 +137,9 @@ def connected_components(
     cluster_id = min url in the component.
 
     ``pairs`` needs columns url1/url2. If ``nodes`` (one column url) is
-    given, singletons get cluster_id = their own url.
+    given, they are UNIONED with the edge endpoints (full outer):
+    nodes without any edge get cluster_id = their own url, and
+    endpoints outside ``nodes`` keep their labels.
     ``salt_buckets > 1`` salts the star joins' hot root keys with
     degree >= ``salt_hot_degree`` (host-domain / mega-cluster skew —
     see ``_salted_join``; cold keys join unsalted).
@@ -194,10 +196,13 @@ def _cc_local(pairs: DataFrame, nodes: DataFrame | None) -> DataFrame:
     )
     out = spark.createDataFrame(list(labels.items()), schema)
     if nodes is not None:
+        # FULL outer: nodes ADD singletons, they never restrict the
+        # edge-endpoint label set (incremental CC seeds label nodes
+        # that are not in the delta node list)
         out = (
             nodes.select(F.col(nodes.columns[0]).alias("url"))
             .distinct()
-            .join(out, "url", "left")
+            .join(out, "url", "full_outer")
             .select("url", F.coalesce("cluster_id", "url").alias("cluster_id"))
         )
     return out
@@ -242,10 +247,11 @@ def _cc_loop(
     labels = labels.union(roots).groupBy("url").agg(F.min("cluster_id").alias("cluster_id"))
 
     if nodes is not None:
+        # FULL outer, same contract as _cc_local: nodes add singletons
         labels = (
             nodes.select(F.col(nodes.columns[0]).alias("url"))
             .distinct()
-            .join(labels, "url", "left")
+            .join(labels, "url", "full_outer")
             .select("url", F.coalesce("cluster_id", "url").alias("cluster_id"))
         )
     return labels

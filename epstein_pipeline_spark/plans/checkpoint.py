@@ -63,6 +63,19 @@ class StageStore:
     def commit(self, stage: str, df: DataFrame, counters: dict | None = None) -> dict:
         """Write df as the next snapshot of `stage`, atomically commit,
         record per-partition lineage."""
+        m = self._write_snapshot(stage, df, counters)
+        self._publish(stage, m)
+        return m
+
+    def _publish(self, stage: str, manifest: dict) -> None:
+        tmp = self._stage_dir(stage) / f".manifest-{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self._manifest(stage))  # atomic commit
+
+    def _write_snapshot(self, stage: str, df: DataFrame, counters: dict | None) -> dict:
+        """Write snapshot files + lineage; return the manifest dict
+        WITHOUT publishing it (callers publish exactly once — append
+        must never expose a delta-only intermediate manifest)."""
         # never reuse a snapshot id, even after invalidate(): old readers
         # may still hold DataFrames over earlier snapshot files
         # (Iceberg's snapshots-are-immutable contract)
@@ -111,7 +124,7 @@ class StageStore:
         )
         pq.write_table(ltable, ldir / f"lineage-{uuid.uuid4().hex}.parquet")
 
-        manifest = {
+        return {
             "stage": stage,
             "snapshot": snap_id,
             "path": str(out_dir),
@@ -120,16 +133,33 @@ class StageStore:
             "counters": counters or {},
             "committed_at": now,
         }
-        tmp = self._stage_dir(stage) / f".manifest-{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, self._manifest(stage))  # atomic commit
-        return manifest
+
+    def append(self, stage: str, delta: DataFrame, counters: dict | None = None) -> dict:
+        """Commit ``delta`` as an APPEND snapshot: the new manifest
+        carries the parent's data paths plus the delta's, and ``read``
+        returns their union — the Iceberg append-snapshot contract
+        (incremental ingest never rewrites committed data files).
+        The chained manifest is published exactly once (atomically);
+        falls back to a plain commit when the stage has no snapshot."""
+        parent = self.latest(stage)
+        if parent is None:
+            return self.commit(stage, delta, counters)
+        m = self._write_snapshot(stage, delta, counters)
+        m = dict(
+            m,
+            paths=parent.get("paths", [parent["path"]]) + [m["path"]],
+            rows=parent["rows"] + m["rows"],
+            bytes=parent["bytes"] + m["bytes"],
+            parent_snapshot=parent["snapshot"],
+        )
+        self._publish(stage, m)
+        return m
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.latest(stage)
         if m is None:
             raise FileNotFoundError(f"no committed snapshot for stage '{stage}'")
-        return spark.read.parquet(m["path"])
+        return spark.read.parquet(*m.get("paths", [m["path"]]))
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(str(self.root / "_lineage"))

@@ -1,0 +1,365 @@
+"""Incremental ingest: dedup NEW pages against a committed store.
+
+The production pattern at 10^12 documents is not "re-dedup the
+corpus" but "a daily increment arrives; fold it in". The reference's
+state store already resumes per document (state.py:86-111
+``get_unprocessed`` anti-join; ocr.py:917-931 output-existence skip);
+this plan lifts that contract to the whole pipeline: every stage
+touches O(new + affected) rows, never O(corpus), except one
+linear-I/O labels rewrite documented below.
+
+Dataflow (delta = pages not yet in the committed extract):
+
+1. extract/signatures: compute for delta only, APPEND-commit
+   (``StageStore.append`` — parent data files are never rewritten,
+   the Iceberg append-snapshot contract).
+2. exact: delta hashes join the committed corpus' per-hash anchor
+   (min url per content_hash — O(1) row per old group, built by a
+   groupBy on the hash column only) + star pairs within delta.
+3. MinHash/SimHash candidates: band rows for delta; the committed
+   corpus' band rows are semi-joined down to ONLY the buckets delta
+   touches (broadcast of the delta's band keys — one narrow scan of
+   the committed signature table, no corpus shuffle), then the usual
+   guarded bucket expansion, keeping only pairs with a new side.
+4. verify: estimate-accept >= 0.9, exact-Jaccard arbitration near
+   threshold, LCS rescue for the gray zone — the same kernels, over
+   delta candidates only.
+5. labels: incremental connected components. Old labels enter only
+   for urls TOUCHED by new edges, as (url, cluster_id) seed edges
+   (cluster_id is itself the min-url of the component, so label
+   space == node space). CC runs over new edges + seeds — O(new)
+   — and its output relabels exactly the affected old clusters
+   (a broadcast semi-join against the affected cluster ids; merges
+   of two old clusters through a new bridge doc come out right
+   because both seeds land in one component). The final labels
+   table is re-published (old minus affected, plus updates): the
+   compute is O(new + affected), the rewrite is linear sequential
+   I/O with no shuffle — on Iceberg this last step is MERGE INTO
+   touching only affected file groups.
+6. clusters: rebuilt for affected components only, unioned with the
+   untouched remainder (broadcast anti-join).
+
+Equivalence contract (pinned by tests): clusters(full corpus) and
+clusters(base) + ingest(delta) produce the SAME partition of urls
+into clusters (pair sets may differ under the chain+star guard, the
+partition may not).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.config import DEFAULT_CONFIG, DedupConfig
+from epstein_pipeline_spark.operators.cc import connected_components
+from epstein_pipeline_spark.operators.clusters import build_clusters
+from epstein_pipeline_spark.operators.lcs import lcs_rescue
+from epstein_pipeline_spark.operators.lsh import (
+    band_rows,
+    bucket_pairs_expr,
+    score_candidates,
+)
+from epstein_pipeline_spark.operators.pairs import canonicalize_pairs, union_first_wins
+from epstein_pipeline_spark.operators.verify import exact_jaccard_pairs
+from epstein_pipeline_spark.plans.checkpoint import StageStore, resume_filter
+from epstein_pipeline_spark.plans.pipeline import PipelineResult, extract_stage
+
+
+def _delta_signatures(spark, docs_delta: DataFrame, cfg: DedupConfig) -> DataFrame:
+    from epstein_pipeline_spark.functions.minhash import make_minhash_udf
+    from epstein_pipeline_spark.functions.simhash import make_simhash_udf
+
+    mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    sh_udf = make_simhash_udf()
+    nparts = spark.sparkContext.defaultParallelism * 4
+    return (
+        docs_delta.filter(
+            F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len)
+        )
+        .select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
+        .repartition(nparts)
+        .withColumn("sig", mh_udf("_norm"))
+        .withColumn("simhash", sh_udf("_norm"))
+        .select("url", "_len", "sig", "simhash")
+    )
+
+
+def _touched_bucket_pairs(
+    bands_old: DataFrame, bands_delta: DataFrame, key_cols: list[str],
+    member_cols: list[str], cap: int,
+) -> DataFrame:
+    """Guarded bucket pair expansion restricted to buckets a delta row
+    touches, emitting only pairs with >= 1 new side.
+
+    The committed corpus' band rows are cut down FIRST by a broadcast
+    semi-join on the delta's bucket keys — the only full pass over old
+    data is the narrow band projection feeding that semi-join. Within
+    a bucket the usual chain+star guard applies; filtering to
+    new-touching pairs preserves every new member's connectivity (its
+    chain/star edges all touch it), and old-old connectivity is
+    already represented by the committed labels.
+    """
+    delta_keys = bands_delta.select(*key_cols).distinct()
+    old_touched = bands_old.join(F.broadcast(delta_keys), key_cols, "left_semi")
+    members = old_touched.withColumn("is_new", F.lit(False)).unionByName(
+        bands_delta.withColumn("is_new", F.lit(True))
+    )
+    buckets = (
+        members.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*member_cols, "is_new"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(bucket_pairs_expr(F.col("_ms"), cap)).alias("p")
+    ).filter(F.col("p.a.is_new") | F.col("p.b.is_new"))
+    return pairs
+
+
+def run_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    store: StageStore,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    use_extracted: bool = True,
+    lcs_check: bool = True,
+) -> PipelineResult:
+    """Fold ``new_pages`` into a store previously built by
+    ``run_dedup`` (or a prior ``run_incremental``). Returns the same
+    PipelineResult shape with updated full tables."""
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = time.time() - t0
+        return out
+
+    old_docs = store.read(spark, "extract")
+    old_sigs = store.read(spark, "signatures")
+    old_labels = store.read(spark, "labels")
+
+    # 1. delta extract (the reference's get_unprocessed anti-join)
+    delta_pages = resume_filter(new_pages, old_docs, "url")
+    if use_extracted:
+        docs_delta = timed("extract", lambda: extract_stage(delta_pages))
+    else:
+        from epstein_pipeline_spark.functions.text import (
+            content_hash_expr,
+            normalize_text_expr,
+        )
+
+        docs_delta = delta_pages.select(
+            "url", "warc_ts", "lang",
+            F.col("text").alias("extracted_text"),
+            normalize_text_expr("text").alias("text"),
+        ).withColumn("content_hash", content_hash_expr("text"))
+    m_ex = store.append("extract", docs_delta)
+    docs_all = store.read(spark, "extract")
+    docs_delta = spark.read.parquet(m_ex["path"])  # just the committed delta
+
+    if docs_delta.isEmpty():
+        return PipelineResult(
+            clusters=store.read(spark, "clusters"),
+            labels=old_labels,
+            pairs=store.read(spark, "pairs"),
+            stage_seconds=timings,
+            docs_in=store.latest("extract")["rows"],
+        )
+
+    # 2. delta signatures
+    sigs_delta_df = timed("signatures", lambda: _delta_signatures(spark, docs_delta, cfg))
+    ms = store.append("signatures", sigs_delta_df)
+    sigs_delta = spark.read.parquet(ms["path"])
+    sigs_all = store.read(spark, "signatures")
+
+    # 3. exact pass: delta-internal star pairs + delta -> old-anchor
+    def build_exact() -> DataFrame:
+        from epstein_pipeline_spark.operators.exact import exact_pairs
+
+        internal = exact_pairs(docs_delta)
+        old_anchor = old_docs.groupBy("content_hash").agg(F.min("url").alias("_a"))
+        cross = (
+            docs_delta.select("url", "content_hash")
+            .join(old_anchor, "content_hash")
+            .select(
+                F.least("url", "_a").alias("url1"),
+                F.greatest("url", "_a").alias("url2"),
+                F.lit(1.0).alias("score"),
+                F.lit("exact").alias("method"),
+            )
+        )
+        return internal.unionByName(cross)
+
+    p_exact = timed("pairs_exact", build_exact)
+
+    # 4. MinHash candidates: delta bands vs touched old buckets
+    mh_old = old_sigs.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
+    mh_delta = sigs_delta.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
+    mh_all = sigs_all.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
+
+    def build_candidates() -> DataFrame:
+        pairs = _touched_bucket_pairs(
+            band_rows(mh_old, cfg), band_rows(mh_delta, cfg),
+            ["band_i", "band_hash"], ["url"], cfg.band_bucket_cap,
+        ).select(
+            F.col("p.a.url").alias("url1"), F.col("p.b.url").alias("url2")
+        ).dropDuplicates(["url1", "url2"])
+        return score_candidates(pairs, mh_all, cfg).filter(
+            F.col("score") >= cfg.lcs_gray_low - 0.10
+        )
+
+    est = timed("minhash_candidates", build_candidates)
+    store.append("minhash_candidates", est)
+    est = spark.read.parquet(store.latest("minhash_candidates")["path"])
+
+    def build_minhash_scored() -> DataFrame:
+        high = est.filter(F.col("score") >= 0.90)
+        near = est.filter(F.col("score") < 0.90)
+        return high.unionByName(
+            exact_jaccard_pairs(near, docs_all, cfg, pre_normalized=True)
+        )
+
+    mh_scored = timed("minhash_scored", build_minhash_scored)
+    store.append("minhash_scored", mh_scored)
+    mh_scored = spark.read.parquet(store.latest("minhash_scored")["path"])
+    p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(
+        "method", F.lit("minhash")
+    )
+
+    # 5. SimHash pass: same touched-bucket pattern, signatures ride in
+    # the member structs (no join back)
+    from epstein_pipeline_spark.functions.simhash import (
+        hamming_distance_expr,
+        simhash_bands_expr,
+    )
+
+    def sh_bands(sigs: DataFrame) -> DataFrame:
+        return sigs.filter(F.col("_len") > cfg.simhash_min_len).select(
+            "url", "simhash",
+            F.posexplode(
+                simhash_bands_expr("simhash", cfg.simhash_bands, cfg.simhash_bits)
+            ).alias("band_i", "band_val"),
+        )
+
+    def build_simhash() -> DataFrame:
+        pairs = _touched_bucket_pairs(
+            sh_bands(old_sigs), sh_bands(sigs_delta),
+            ["band_i", "band_val"], ["url", "simhash"], cfg.band_bucket_cap,
+        )
+        d = hamming_distance_expr(F.col("p.a.simhash"), F.col("p.b.simhash"))
+        return (
+            pairs.filter(d <= cfg.hamming_max)
+            .select(
+                F.col("p.a.url").alias("url1"),
+                F.col("p.b.url").alias("url2"),
+                (F.lit(1.0) - d / F.lit(64.0)).alias("score"),
+                F.lit("simhash").alias("method"),
+            )
+            .dropDuplicates(["url1", "url2"])
+        )
+
+    p_simhash = timed("pairs_simhash", build_simhash)
+
+    # 6. LCS rescue over the new gray zone
+    p_lcs = None
+    if lcs_check:
+        p_lcs = timed(
+            "pairs_lcs",
+            lambda: lcs_rescue(
+                mh_scored.filter(F.col("score") < cfg.jaccard_threshold), docs_all, cfg
+            ),
+        )
+
+    # 7. union new pair evidence, append to the committed pair table
+    def build_pairs() -> DataFrame:
+        parts = [canonicalize_pairs(p) for p in (p_exact, p_minhash, p_simhash) if p is not None]
+        if p_lcs is not None:
+            parts.append(canonicalize_pairs(p_lcs))
+        return union_first_wins(*parts)
+
+    pairs_delta = timed("pairs", build_pairs)
+    mp = store.append("pairs", pairs_delta)
+    pairs_delta = spark.read.parquet(mp["path"])
+    pairs_all = store.read(spark, "pairs")
+
+    # 8. incremental connected components. Every DataFrame here is
+    # O(new edges + affected members); the only O(corpus) step is the
+    # final label republication (linear sequential I/O, broadcast
+    # anti-join, no shuffle — Iceberg's MERGE INTO shape).
+    t0 = time.time()
+    edge_urls = (
+        pairs_delta.select(F.col("url1").alias("url"))
+        .unionByName(pairs_delta.select(F.col("url2").alias("url")))
+        .distinct()
+    )
+    touched = old_labels.join(F.broadcast(edge_urls), "url", "left_semi")
+    # seed edge (member -> its old cluster_id): label space == node
+    # space because cluster_id is the component's min url, so CC over
+    # new edges + seeds reconnects every affected old cluster — and
+    # merges two old clusters bridged by a new doc
+    seeds = touched.select(
+        F.col("url").alias("url1"), F.col("cluster_id").alias("url2")
+    )
+    partial = connected_components(
+        pairs_delta.select("url1", "url2").unionByName(seeds),
+        nodes=docs_delta.select("url"),
+        max_iters=cfg.cc_max_iters,
+        checkpoint_every=cfg.cc_checkpoint_every,
+    ).localCheckpoint()  # small (affected-only); reused four times below
+    affected_old_ids = touched.select("cluster_id").distinct()
+    # every member of an affected old cluster takes its cluster_id's
+    # NEW label (the old id participates as a node in `partial`)
+    id_map = partial.select(
+        F.col("url").alias("cluster_id"), F.col("cluster_id").alias("_new")
+    )
+    relabeled = old_labels.join(
+        F.broadcast(affected_old_ids), "cluster_id", "left_semi"
+    ).join(F.broadcast(id_map), "cluster_id").select(
+        "url", F.col("_new").alias("cluster_id")
+    )
+    untouched = old_labels.join(
+        F.broadcast(affected_old_ids), "cluster_id", "left_anti"
+    ).select("url", "cluster_id")
+    # nodes of `partial` that are not in old_labels are exactly the
+    # delta urls — select them directly instead of an O(corpus)
+    # anti-join against the labels table
+    fresh = partial.join(F.broadcast(docs_delta.select("url")), "url", "left_semi")
+    labels = untouched.unionByName(relabeled).unionByName(fresh).dropDuplicates(["url"])
+    timings["labels"] = time.time() - t0
+    store.commit("labels", labels)  # full republication (Iceberg: MERGE INTO)
+    labels = store.read(spark, "labels")
+
+    # 9. clusters: drop every affected/new component's rows, rebuild
+    # them from the updated labels, keep the rest untouched
+    def build_clusters_inc() -> DataFrame:
+        old_clusters = store.read(spark, "clusters")
+        new_ids = partial.select("cluster_id").distinct()
+        keep = old_clusters.join(
+            F.broadcast(affected_old_ids), "cluster_id", "left_anti"
+        )
+        sub_labels = labels.join(F.broadcast(new_ids), "cluster_id", "left_semi")
+        sub_pairs = pairs_all.join(
+            F.broadcast(sub_labels.select(F.col("url").alias("url1"))),
+            "url1",
+            "left_semi",
+        )
+        rebuilt = build_clusters(sub_labels, sub_pairs, docs_all)
+        return keep.unionByName(rebuilt)
+
+    clusters = timed("clusters", build_clusters_inc)
+    store.commit("clusters", clusters)
+    clusters = store.read(spark, "clusters")
+
+    return PipelineResult(
+        clusters=clusters,
+        labels=labels,
+        pairs=pairs_all,
+        stage_seconds=timings,
+        docs_in=store.latest("extract")["rows"],
+    )

@@ -94,19 +94,23 @@ def run_dedup(
         timings[name] = time.time() - t0
         return store.read(spark, name)
 
-    # 1. extract (skips rows already extracted when resuming a partial run)
+    # 1. extract (skips rows already extracted when resuming a partial
+    # run). The pre-extracted path commits under the same stage name so
+    # resume and incremental ingest see one contract either way.
     if use_extracted:
         docs = staged("extract", lambda: extract_stage(pages))
     else:
-        docs = pages.select(
-            "url", "warc_ts", "lang",
-            F.col("text").alias("extracted_text"),
-            normalize_text_expr("text").alias("text"),
-        ).withColumn("content_hash", content_hash_expr("text"))
+        docs = staged(
+            "extract",
+            lambda: pages.select(
+                "url", "warc_ts", "lang",
+                F.col("text").alias("extracted_text"),
+                normalize_text_expr("text").alias("text"),
+            ).withColumn("content_hash", content_hash_expr("text")),
+        )
 
-    # doc count from the committed manifest when available (free —
-    # no extra Spark job); count() only on the uncommitted path
-    m = store.latest("extract") if use_extracted else None
+    # doc count from the committed manifest (free — no extra Spark job)
+    m = store.latest("extract")
     n_docs = m["rows"] if m is not None else docs.count()
 
     # 2. exact pass (hash-group star pairs)

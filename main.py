@@ -60,6 +60,40 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_ingest(args) -> None:
+    """Incremental ingest: fold NEW pages into a store built by a
+    prior ``dedup`` run — every stage touches O(new + affected) rows
+    (plans/incremental.py; reference per-doc resume semantics
+    state.py:86-111)."""
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.config import DedupConfig
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+    from epstein_pipeline_spark.plans.incremental import run_incremental
+    from epstein_pipeline_spark.sources.io import read_pages, write_clusters
+
+    spark = SparkSession.builder.appName("epstein_pipeline_spark.ingest").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    pages = read_pages(spark, args.input)
+    t0 = time.time()
+    res = run_incremental(
+        spark, pages, StageStore(args.store), DedupConfig(),
+        use_extracted=True, lcs_check=not args.no_lcs,
+    )
+    write_clusters(res.clusters, args.output)
+    print(
+        json.dumps(
+            {
+                "docs_total": res.docs_in,
+                "pairs_total": res.pairs.count(),
+                "clusters_rows": res.clusters.count(),
+                "seconds": round(time.time() - t0, 2),
+                "stage_seconds": {k: round(v, 2) for k, v in res.stage_seconds.items()},
+            }
+        )
+    )
+
+
 def cmd_resolve(args) -> None:
     """Probabilistic entity resolution over a persons table
     (reference cli.py:2145-2199 resolve-entities): score blocked pairs
@@ -117,6 +151,13 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--no-lcs", action="store_true")
     d.add_argument("--no-resume", action="store_true")
     d.set_defaults(fn=cmd_dedup)
+
+    g = sub.add_parser("ingest", help="fold new pages into an existing dedup store (incremental)")
+    g.add_argument("--input", required=True, help="new pages parquet")
+    g.add_argument("--store", required=True, help="store from a prior dedup run")
+    g.add_argument("--output", required=True)
+    g.add_argument("--no-lcs", action="store_true")
+    g.set_defaults(fn=cmd_ingest)
 
     r = sub.add_parser("resolve", help="probabilistic entity resolution over a persons table")
     r.add_argument("--input", required=True, help="persons parquet: pid, name, first_name, last_name, aliases, category")

@@ -1,0 +1,149 @@
+"""Incremental ingest: fold new pages into a committed store.
+
+Equivalence contract: clusters(full corpus) == clusters(base) +
+ingest(delta) as a PARTITION of urls (pair sets may differ under the
+chain+star guard; the partition may not). Reference per-doc resume
+semantics: state.py:86-111, ocr.py:917-931."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.config import DedupConfig
+from epstein_pipeline_spark.plans.checkpoint import StageStore
+from epstein_pipeline_spark.plans.incremental import run_incremental
+from epstein_pipeline_spark.plans.pipeline import run_dedup
+
+
+def _partition(labels_df) -> set[frozenset]:
+    groups: dict = {}
+    for r in labels_df.collect():
+        groups.setdefault(r["cluster_id"], set()).add(r["url"])
+    return {frozenset(v) for v in groups.values() if len(v) > 1}
+
+
+def _cluster_partition(clusters_df) -> set[frozenset]:
+    groups: dict = {}
+    for r in clusters_df.collect():
+        groups.setdefault(r["cluster_id"], set()).add(r["url"])
+    return {frozenset(v) for v in groups.values()}
+
+
+def test_incremental_matches_full_run(spark, pages, tmp_path):
+    """Split the synth corpus ~3:1 by url hash (duplicate classes span
+    the split); base-run + ingest must produce the same url partition
+    as one full run."""
+    is_delta = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    base = pages.filter(~is_delta)
+    delta = pages.filter(is_delta)
+    assert 0 < delta.count() < pages.count()
+
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), DedupConfig())
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, DedupConfig())
+    inc = run_incremental(spark, delta, store, DedupConfig())
+
+    assert _partition(full.labels) == _partition(inc.labels)
+    assert _cluster_partition(full.clusters) == _cluster_partition(inc.clusters)
+    assert inc.docs_in == pages.count()
+
+
+def test_incremental_bridge_merges_two_base_clusters(spark, tmp_path):
+    """A delta doc that is a near-dup of BOTH base clusters must merge
+    them into one (the seed edges put both old labels in one
+    component). LCS rescue off: the planted core would legitimately
+    rescue the 0.67-Jaccard A-B pair and hide the bridge effect."""
+    import string
+
+    core = [f"corew{i:03d}" for i in range(150)]
+    # specific words over DISJOINT alphabets (a-m vs n-z) so the two
+    # sides share no specific shingles; the bridge takes A's word at
+    # even slots and B's at odd slots, so every shared word keeps its
+    # original neighbors (boundary shingles stay symmetric)
+    la, lb = string.ascii_lowercase[:13], string.ascii_lowercase[13:]
+    aw = ["".join(la[(i * 7 + j * 3) % 13] for j in range(10)) for i in range(20)]
+    bw = ["".join(lb[(i * 7 + j * 3) % 13] for j in range(10)) for i in range(20)]
+    cw = [aw[i] if i % 2 == 0 else bw[i] for i in range(20)]
+
+    def mix(specific):
+        out = []
+        k = 0
+        for i, w in enumerate(core):
+            out.append(w)
+            if i % 7 == 0 and k < len(specific):
+                out.append(specific[k])
+                k += 1
+        return " ".join(out)
+
+    t_a = mix(aw)
+    t_b = mix(bw)
+    t_bridge = mix(cw)
+
+    # construction preconditions on TRUE 5-char-shingle Jaccard: the
+    # bridge clears the 0.8 dedup threshold against both sides, the
+    # sides do not clear it against each other
+    def jac(x, y):
+        sx = {x[i:i + 5] for i in range(len(x) - 4)}
+        sy = {y[i:i + 5] for i in range(len(y) - 4)}
+        return len(sx & sy) / len(sx | sy)
+
+    assert jac(t_a, t_b) < 0.72, jac(t_a, t_b)
+    assert jac(t_a, t_bridge) > 0.81, jac(t_a, t_bridge)
+    assert jac(t_b, t_bridge) > 0.81, jac(t_b, t_bridge)
+    rows = [
+        ("a1", t_a), ("a2", t_a + " trailerx"),
+        ("b1", t_b), ("b2", t_b + " trailery"),
+    ]
+    base = spark.createDataFrame(rows, "url string, text string").select(
+        "url", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    cfg = DedupConfig()
+    store = StageStore(tmp_path / "s")
+    res0 = run_dedup(spark, base, store, cfg, use_extracted=False, lcs_check=False)
+    p0 = _partition(res0.labels)
+    assert p0 == {frozenset({"a1", "a2"}), frozenset({"b1", "b2"})}
+
+    delta = spark.createDataFrame([("c1", t_bridge)], "url string, text string").select(
+        "url", F.lit("2024-01-02 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    res1 = run_incremental(spark, delta, store, cfg, use_extracted=False, lcs_check=False)
+    assert _partition(res1.labels) == {frozenset({"a1", "a2", "b1", "b2", "c1"})}
+    # the merged cluster's rows replaced both old clusters' rows
+    cp = _cluster_partition(res1.clusters)
+    assert frozenset({"a1", "a2", "b1", "b2", "c1"}) in cp
+    assert not any(g < frozenset({"a1", "a2", "b1", "b2", "c1"}) for g in cp)
+
+
+def test_incremental_unrelated_delta_keeps_old_clusters(spark, tmp_path):
+    t1 = " ".join(f"w{i}" for i in range(120))
+    rows = [("u1", t1), ("u2", t1 + " tail")]
+    base = spark.createDataFrame(rows, "url string, text string").select(
+        "url", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    store = StageStore(tmp_path / "s")
+    res0 = run_dedup(spark, base, store, DedupConfig(), use_extracted=False)
+    delta = spark.createDataFrame(
+        [("z1", " ".join(f"zz{i}" for i in range(150)))], "url string, text string"
+    ).select(
+        "url", F.lit("2024-01-02 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    res1 = run_incremental(spark, delta, store, DedupConfig(), use_extracted=False)
+    assert _partition(res1.labels) == _partition(res0.labels)
+    # singleton delta url got a label, and the old cluster rows survived
+    assert res1.labels.filter(F.col("url") == "z1").count() == 1
+    assert _cluster_partition(res1.clusters) == _cluster_partition(res0.clusters)
+
+
+def test_incremental_already_ingested_is_noop(spark, pages, tmp_path):
+    sub = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+    store = StageStore(tmp_path / "s")
+    run_dedup(spark, sub, store, DedupConfig())
+    before = store.latest("extract")["rows"]
+    res = run_incremental(spark, sub, store, DedupConfig())
+    assert store.latest("extract")["rows"] == before
+    assert res.docs_in == before
