@@ -147,3 +147,19 @@ def test_incremental_already_ingested_is_noop(spark, pages, tmp_path):
     res = run_incremental(spark, sub, store, DedupConfig())
     assert store.latest("extract")["rows"] == before
     assert res.docs_in == before
+
+
+def test_two_sequential_ingests_match_full_run(spark, pages, tmp_path):
+    """Append-on-append: base + ingest(d1) + ingest(d2) must still
+    equal one full run (manifest chains survive a second append)."""
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    base = pages.filter(h >= 2)
+    d1 = pages.filter(h == 0)
+    d2 = pages.filter(h == 1)
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), DedupConfig())
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, DedupConfig())
+    run_incremental(spark, d1, store, DedupConfig())
+    inc = run_incremental(spark, d2, store, DedupConfig())
+    assert _partition(full.labels) == _partition(inc.labels)
+    assert inc.docs_in == pages.count()
