@@ -155,6 +155,17 @@ class StageStore:
         self._publish(stage, m)
         return m
 
+    def compact(self, spark: SparkSession, stage: str) -> dict:
+        """Rewrite an append chain into one snapshot (Iceberg's
+        rewrite_data_files maintenance action): read the chained
+        manifest, write a single new snapshot, publish. Old snapshot
+        files stay on disk for readers holding earlier manifests
+        (snapshots are immutable; expiry is the owner's policy)."""
+        m = self.latest(stage)
+        if m is None or len(m.get("paths", [m["path"]])) <= 1:
+            return m or {}
+        return self.commit(stage, self.read(spark, stage), m.get("counters"))
+
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.latest(stage)
         if m is None:

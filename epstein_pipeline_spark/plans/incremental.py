@@ -147,7 +147,7 @@ def run_incremental(
     # 1. delta extract (the reference's get_unprocessed anti-join)
     delta_pages = resume_filter(new_pages, old_docs, "url")
     if use_extracted:
-        docs_delta = timed("extract", lambda: extract_stage(delta_pages))
+        docs_delta = extract_stage(delta_pages)
     else:
         from epstein_pipeline_spark.functions.text import (
             content_hash_expr,
@@ -159,7 +159,7 @@ def run_incremental(
             F.col("text").alias("extracted_text"),
             normalize_text_expr("text").alias("text"),
         ).withColumn("content_hash", content_hash_expr("text"))
-    m_ex = store.append("extract", docs_delta)
+    m_ex = timed("extract", lambda: store.append("extract", docs_delta))
     docs_all = store.read(spark, "extract")
     docs_delta = spark.read.parquet(m_ex["path"])  # just the committed delta
 
@@ -173,8 +173,8 @@ def run_incremental(
         )
 
     # 2. delta signatures
-    sigs_delta_df = timed("signatures", lambda: _delta_signatures(spark, docs_delta, cfg))
-    ms = store.append("signatures", sigs_delta_df)
+    sigs_delta_df = _delta_signatures(spark, docs_delta, cfg)
+    ms = timed("signatures", lambda: store.append("signatures", sigs_delta_df))
     sigs_delta = spark.read.parquet(ms["path"])
     sigs_all = store.read(spark, "signatures")
 
@@ -214,8 +214,8 @@ def run_incremental(
             F.col("score") >= cfg.lcs_gray_low - 0.10
         )
 
-    est = timed("minhash_candidates", build_candidates)
-    store.append("minhash_candidates", est)
+    est = build_candidates()
+    timed("minhash_candidates", lambda: store.append("minhash_candidates", est))
     est = spark.read.parquet(store.latest("minhash_candidates")["path"])
 
     def build_minhash_scored() -> DataFrame:
@@ -225,8 +225,8 @@ def run_incremental(
             exact_jaccard_pairs(near, docs_all, cfg, pre_normalized=True)
         )
 
-    mh_scored = timed("minhash_scored", build_minhash_scored)
-    store.append("minhash_scored", mh_scored)
+    mh_scored = build_minhash_scored()
+    timed("minhash_scored", lambda: store.append("minhash_scored", mh_scored))
     mh_scored = spark.read.parquet(store.latest("minhash_scored")["path"])
     p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(
         "method", F.lit("minhash")
@@ -283,8 +283,8 @@ def run_incremental(
             parts.append(canonicalize_pairs(p_lcs))
         return union_first_wins(*parts)
 
-    pairs_delta = timed("pairs", build_pairs)
-    mp = store.append("pairs", pairs_delta)
+    pairs_delta = build_pairs()
+    mp = timed("pairs", lambda: store.append("pairs", pairs_delta))
     pairs_delta = spark.read.parquet(mp["path"])
     pairs_all = store.read(spark, "pairs")
 
@@ -332,7 +332,9 @@ def run_incremental(
     fresh = partial.join(F.broadcast(docs_delta.select("url")), "url", "left_semi")
     labels = untouched.unionByName(relabeled).unionByName(fresh).dropDuplicates(["url"])
     timings["labels"] = time.time() - t0
+    t0 = time.time()
     store.commit("labels", labels)  # full republication (Iceberg: MERGE INTO)
+    timings["labels"] += time.time() - t0
     labels = store.read(spark, "labels")
 
     # 9. clusters: drop every affected/new component's rows, rebuild
@@ -352,8 +354,8 @@ def run_incremental(
         rebuilt = build_clusters(sub_labels, sub_pairs, docs_all)
         return keep.unionByName(rebuilt)
 
-    clusters = timed("clusters", build_clusters_inc)
-    store.commit("clusters", clusters)
+    clusters = build_clusters_inc()
+    timed("clusters", lambda: store.commit("clusters", clusters))
     clusters = store.read(spark, "clusters")
 
     return PipelineResult(

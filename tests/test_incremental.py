@@ -163,3 +163,20 @@ def test_two_sequential_ingests_match_full_run(spark, pages, tmp_path):
     inc = run_incremental(spark, d2, store, DedupConfig())
     assert _partition(full.labels) == _partition(inc.labels)
     assert inc.docs_in == pages.count()
+
+
+def test_compact_collapses_append_chain(spark, tmp_path):
+    store = StageStore(tmp_path / "s")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int")
+    df2 = spark.createDataFrame([("c", 3)], "url string, v int")
+    store.commit("t", df1)
+    store.append("t", df2)
+    assert len(store.latest("t")["paths"]) == 2
+    store.compact(spark, "t")
+    m = store.latest("t")
+    assert "paths" not in m and m["rows"] == 3
+    assert {r["url"] for r in store.read(spark, "t").collect()} == {"a", "b", "c"}
+    # compacting a single-snapshot stage is a no-op
+    snap = m["snapshot"]
+    store.compact(spark, "t")
+    assert store.latest("t")["snapshot"] == snap
