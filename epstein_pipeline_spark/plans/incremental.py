@@ -141,10 +141,18 @@ def run_incremental(
         return out
 
     old_docs = store.read(spark, "extract")
-    old_sigs = store.read(spark, "signatures")
     old_labels = store.read(spark, "labels")
 
-    # 1. delta extract (the reference's get_unprocessed anti-join)
+    # 1. delta extract (the reference's get_unprocessed anti-join).
+    # CRASH RECOVERY: a kill between the extract append and the final
+    # clusters commit leaves docs present but clusters stale — the
+    # anti-join alone would then see "nothing new" and skip the redo.
+    # Freshness rule: a downstream stage is DONE for this delta iff
+    # its manifest committed at/after the delta's extract manifest; on
+    # rerun with an empty anti-join but stale clusters, the last
+    # extract snapshot IS the in-flight delta and the redo resumes
+    # from it, reusing every stage a crashed run already appended
+    # (the labels/clusters recompute is idempotent).
     delta_pages = resume_filter(new_pages, old_docs, "url")
     if use_extracted:
         docs_delta = extract_stage(delta_pages)
@@ -159,23 +167,58 @@ def run_incremental(
             F.col("text").alias("extracted_text"),
             normalize_text_expr("text").alias("text"),
         ).withColumn("content_hash", content_hash_expr("text"))
-    m_ex = timed("extract", lambda: store.append("extract", docs_delta))
+
+    def _fresh(stage: str, ref_ts: float) -> bool:
+        m = store.latest(stage)
+        return m is not None and m["committed_at"] >= ref_ts
+
+    prior_ex = store.latest("extract")
+    if docs_delta.isEmpty():
+        # "clusters" commits LAST — it being fresh means the whole
+        # ingest completed (labels alone fresh still needs a redo)
+        if _fresh("clusters", prior_ex["committed_at"]):
+            return PipelineResult(  # fully ingested: nothing to do
+                clusters=store.read(spark, "clusters"),
+                labels=old_labels,
+                pairs=store.read(spark, "pairs"),
+                stage_seconds=timings,
+                docs_in=prior_ex["rows"],
+            )
+        # interrupted ingest: resume with the last extract snapshot as
+        # the delta; old_* views must exclude it
+        m_ex = prior_ex
+        timings["extract"] = 0.0
+        parent_paths = m_ex.get("paths", [m_ex["path"]])[:-1]
+        old_docs = spark.read.parquet(*parent_paths) if parent_paths else old_docs.limit(0)
+    else:
+        m_ex = timed("extract", lambda: store.append("extract", docs_delta))
+    ref_ts = m_ex["committed_at"]
     docs_all = store.read(spark, "extract")
     docs_delta = spark.read.parquet(m_ex["path"])  # just the committed delta
 
-    if docs_delta.isEmpty():
-        return PipelineResult(
-            clusters=store.read(spark, "clusters"),
-            labels=old_labels,
-            pairs=store.read(spark, "pairs"),
-            stage_seconds=timings,
-            docs_in=store.latest("extract")["rows"],
-        )
+    def appended(stage: str, build) -> DataFrame:
+        """Append `build()` as this delta's snapshot of `stage`, or
+        reuse the snapshot a crashed run already committed."""
+        m = store.latest(stage)
+        if m is not None and m["committed_at"] >= ref_ts:
+            timings[stage] = 0.0
+            return spark.read.parquet(m["path"])
+        df = build()
+        t0 = time.time()
+        m = store.append(stage, df)
+        timings[stage] = time.time() - t0
+        return spark.read.parquet(m["path"])
 
-    # 2. delta signatures
-    sigs_delta_df = _delta_signatures(spark, docs_delta, cfg)
-    ms = timed("signatures", lambda: store.append("signatures", sigs_delta_df))
-    sigs_delta = spark.read.parquet(ms["path"])
+    # 2. delta signatures (old view excludes this delta's snapshot if
+    # a crashed run already appended it)
+    sigs_delta = appended("signatures", lambda: _delta_signatures(spark, docs_delta, cfg))
+    m_sig = store.latest("signatures")
+    sig_paths = m_sig.get("paths", [m_sig["path"]])
+    old_sigs = (
+        spark.read.parquet(*sig_paths[:-1])
+        if len(sig_paths) > 1
+        else store.read(spark, "signatures").limit(0)
+    )
     sigs_all = store.read(spark, "signatures")
 
     # 3. exact pass: delta-internal star pairs + delta -> old-anchor
@@ -214,9 +257,7 @@ def run_incremental(
             F.col("score") >= cfg.lcs_gray_low - 0.10
         )
 
-    est = build_candidates()
-    timed("minhash_candidates", lambda: store.append("minhash_candidates", est))
-    est = spark.read.parquet(store.latest("minhash_candidates")["path"])
+    est = appended("minhash_candidates", build_candidates)
 
     def build_minhash_scored() -> DataFrame:
         high = est.filter(F.col("score") >= 0.90)
@@ -225,9 +266,7 @@ def run_incremental(
             exact_jaccard_pairs(near, docs_all, cfg, pre_normalized=True)
         )
 
-    mh_scored = build_minhash_scored()
-    timed("minhash_scored", lambda: store.append("minhash_scored", mh_scored))
-    mh_scored = spark.read.parquet(store.latest("minhash_scored")["path"])
+    mh_scored = appended("minhash_scored", build_minhash_scored)
     p_minhash = mh_scored.filter(F.col("score") >= cfg.jaccard_threshold).withColumn(
         "method", F.lit("minhash")
     )
@@ -283,9 +322,7 @@ def run_incremental(
             parts.append(canonicalize_pairs(p_lcs))
         return union_first_wins(*parts)
 
-    pairs_delta = build_pairs()
-    mp = timed("pairs", lambda: store.append("pairs", pairs_delta))
-    pairs_delta = spark.read.parquet(mp["path"])
+    pairs_delta = appended("pairs", build_pairs)
     pairs_all = store.read(spark, "pairs")
 
     # 8. incremental connected components. Every DataFrame here is

@@ -180,3 +180,35 @@ def test_compact_collapses_append_chain(spark, tmp_path):
     snap = m["snapshot"]
     store.compact(spark, "t")
     assert store.latest("t")["snapshot"] == snap
+
+
+def test_ingest_crash_recovery_resumes_and_matches_full(spark, pages, tmp_path):
+    """Kill simulation: a crashed ingest appended extract + signatures
+    but never reached pairs/labels/clusters. Re-running the SAME
+    ingest must detect the stale clusters (anti-join sees nothing
+    new), resume from the in-flight delta snapshot, reuse the
+    already-appended stages, and converge to the full-run partition."""
+    from epstein_pipeline_spark.plans.incremental import _delta_signatures
+    from epstein_pipeline_spark.plans.pipeline import extract_stage
+
+    is_delta = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    base, delta = pages.filter(~is_delta), pages.filter(is_delta)
+    cfg = DedupConfig()
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), cfg)
+
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, cfg)
+    # simulate the crashed run's first two appends
+    m_ex = store.append("extract", extract_stage(delta))
+    committed_delta = spark.read.parquet(m_ex["path"])
+    store.append("signatures", _delta_signatures(spark, committed_delta, cfg))
+    clusters_before = store.latest("clusters")["committed_at"]
+
+    res = run_incremental(spark, delta, store, cfg)
+    assert res.stage_seconds["extract"] == 0.0  # reused, not recomputed
+    assert res.stage_seconds["signatures"] == 0.0
+    assert store.latest("clusters")["committed_at"] > clusters_before
+    assert _partition(full.labels) == _partition(res.labels)
+    # a second rerun is now a true noop (clusters fresh)
+    again = run_incremental(spark, delta, store, cfg)
+    assert all(v == 0.0 for v in again.stage_seconds.values())
