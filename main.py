@@ -60,6 +60,74 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_export(args) -> None:
+    """Export a parquet table to JSON-lines / CSV / SQLite(+FTS5)
+    (reference cli.py export commands; exporters/sqlite_export.py).
+    ``sqlite`` expects the documents schema (id, title, date, source,
+    category, summary, pageCount, batesRange, tags, ocrText) and
+    optionally runs an FTS smoke query afterwards."""
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.sources.io import (
+        fts_search,
+        write_csv_docs,
+        write_json,
+        write_sqlite,
+    )
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = SparkSession.builder.appName("epstein_pipeline_spark.export").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    df = spark.read.parquet(args.input)
+
+    def to_docs_shape(d):
+        """Adapt any document-ish table to the reference docs schema
+        the csv/sqlite sinks expect; present columns pass through."""
+        cols = set(d.columns)
+
+        def pick(name, *alts, default=None, dtype="string"):
+            for c in (name, *alts):
+                if c in cols:
+                    return F.col(c).cast(dtype).alias(name)
+            return F.lit(default).cast(dtype).alias(name)
+
+        text = F.col("text") if "text" in cols else F.lit("")
+        return d.select(
+            pick("id", "doc_id", "url"),
+            F.coalesce(
+                F.col("title") if "title" in cols else F.lit(None).cast("string"),
+                F.substring(text, 1, 80),
+            ).alias("title"),
+            pick("date"),
+            pick("source"),
+            pick("category", "lang"),
+            pick("summary"),
+            pick("pageCount", default=None, dtype="int"),
+            pick("batesRange"),
+            (F.col("tags") if "tags" in cols
+             else F.array().cast(T.ArrayType(T.StringType()))).alias("tags"),
+            (F.col("personIds") if "personIds" in cols
+             else F.array().cast(T.ArrayType(T.StringType()))).alias("personIds"),
+            (F.col("ocrText") if "ocrText" in cols else text).alias("ocrText"),
+        )
+
+    t0 = time.time()
+    out: dict = {"format": args.format, "rows": df.count()}
+    if args.format == "json":
+        write_json(df, args.output)
+    elif args.format == "csv":
+        write_csv_docs(to_docs_shape(df), args.output)
+    else:
+        write_sqlite(to_docs_shape(df), args.output)
+        if args.fts_query:
+            hits = fts_search(args.output, args.fts_query, limit=5)
+            out["fts_hits"] = len(hits)
+    out["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+
+
 def cmd_ingest(args) -> None:
     """Incremental ingest: fold NEW pages into a store built by a
     prior ``dedup`` run — every stage touches O(new + affected) rows
@@ -151,6 +219,13 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--no-lcs", action="store_true")
     d.add_argument("--no-resume", action="store_true")
     d.set_defaults(fn=cmd_dedup)
+
+    e = sub.add_parser("export", help="export a parquet table to json / csv / sqlite+FTS5")
+    e.add_argument("--input", required=True, help="parquet table (docs schema for csv/sqlite)")
+    e.add_argument("--output", required=True)
+    e.add_argument("--format", choices=["json", "csv", "sqlite"], default="json")
+    e.add_argument("--fts-query", default=None, help="sqlite only: run an FTS5 smoke query")
+    e.set_defaults(fn=cmd_export)
 
     g = sub.add_parser("ingest", help="fold new pages into an existing dedup store (incremental)")
     g.add_argument("--input", required=True, help="new pages parquet")
