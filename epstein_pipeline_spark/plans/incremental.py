@@ -379,10 +379,16 @@ def run_incremental(
     def build_clusters_inc() -> DataFrame:
         old_clusters = store.read(spark, "clusters")
         new_ids = partial.select("cluster_id").distinct()
+        sub_labels = labels.join(F.broadcast(new_ids), "cluster_id", "left_semi")
+        # drop stale rows by cluster id AND by member url: in crash
+        # recovery after the labels commit, `old_labels` already holds
+        # final ids, so a merged-AWAY old cluster's id is not in
+        # affected_old_ids — but its members are all in sub_labels
+        # (the whole affected component relabels), so the url
+        # anti-join removes their stale rows regardless of old id
         keep = old_clusters.join(
             F.broadcast(affected_old_ids), "cluster_id", "left_anti"
-        )
-        sub_labels = labels.join(F.broadcast(new_ids), "cluster_id", "left_semi")
+        ).join(F.broadcast(sub_labels.select("url")), "url", "left_anti")
         sub_pairs = pairs_all.join(
             F.broadcast(sub_labels.select(F.col("url").alias("url1"))),
             "url1",

@@ -212,3 +212,58 @@ def test_ingest_crash_recovery_resumes_and_matches_full(spark, pages, tmp_path):
     # a second rerun is now a true noop (clusters fresh)
     again = run_incremental(spark, delta, store, cfg)
     assert all(v == 0.0 for v in again.stage_seconds.values())
+
+
+def test_ingest_crash_between_labels_and_clusters(spark, tmp_path):
+    """Crash window AFTER the labels commit but BEFORE clusters: on
+    rerun, old_labels already hold final ids, so the merged-away base
+    cluster's id is not among the affected ids — its stale clusters
+    rows must still be dropped (member-url anti-join)."""
+    import json as _json
+    from pathlib import Path
+
+    import string
+
+    core = [f"corew{i:03d}" for i in range(150)]
+    la, lb = string.ascii_lowercase[:13], string.ascii_lowercase[13:]
+    aw = ["".join(la[(i * 7 + j * 3) % 13] for j in range(10)) for i in range(20)]
+    bw = ["".join(lb[(i * 7 + j * 3) % 13] for j in range(10)) for i in range(20)]
+    cw = [aw[i] if i % 2 == 0 else bw[i] for i in range(20)]
+
+    def mix(specific):
+        out, k = [], 0
+        for i, w in enumerate(core):
+            out.append(w)
+            if i % 7 == 0 and k < len(specific):
+                out.append(specific[k])
+                k += 1
+        return " ".join(out)
+
+    def to_pages(rows):
+        return spark.createDataFrame(rows, "url string, text string").select(
+            "url", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit("en").alias("lang"), "text",
+        )
+
+    cfg = DedupConfig()
+    store = StageStore(tmp_path / "s")
+    base = to_pages([("a1", mix(aw)), ("a2", mix(aw) + " tx"),
+                     ("b1", mix(bw)), ("b2", mix(bw) + " ty")])
+    run_dedup(spark, base, store, cfg, use_extracted=False, lcs_check=False)
+    pre_clusters_manifest = (Path(store.root) / "clusters" / "MANIFEST.json").read_text()
+
+    delta = to_pages([("c1", mix(cw))])
+    run_incremental(spark, delta, store, cfg, use_extracted=False, lcs_check=False)
+    # simulate the crash: roll the clusters manifest back to the
+    # pre-ingest snapshot (labels stayed final)
+    (Path(store.root) / "clusters" / "MANIFEST.json").write_text(pre_clusters_manifest)
+
+    res = run_incremental(spark, delta, store, cfg, use_extracted=False, lcs_check=False)
+    cp = _cluster_partition(res.clusters)
+    assert frozenset({"a1", "a2", "b1", "b2", "c1"}) in cp
+    # no stale rows from either pre-merge cluster survive
+    assert all(
+        not (g & {"a1", "a2", "b1", "b2", "c1"})
+        for g in cp - {frozenset({"a1", "a2", "b1", "b2", "c1"})}
+    )
+    assert res.clusters.groupBy("url").count().filter(F.col("count") > 1).count() == 0
