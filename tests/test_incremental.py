@@ -267,3 +267,28 @@ def test_ingest_crash_between_labels_and_clusters(spark, tmp_path):
         for g in cp - {frozenset({"a1", "a2", "b1", "b2", "c1"})}
     )
     assert res.clusters.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_cluster_ingest_matches_full_run(spark, pages, tmp_path):
+    """Structured Streaming surface: base batch run, then two delta
+    files arrive as separate micro-batches (maxFilesPerTrigger=1);
+    the drained stream's store must hold the full-run partition."""
+    from epstein_pipeline_spark.streaming.incremental import stream_cluster_ingest
+
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    base = pages.filter(h >= 2)
+    cfg = DedupConfig()
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), cfg)
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, cfg)
+
+    indir = tmp_path / "in"
+    pages.filter(h == 0).coalesce(1).write.mode("append").parquet(str(indir))
+    pages.filter(h == 1).coalesce(1).write.mode("append").parquet(str(indir))
+
+    q = stream_cluster_ingest(spark, str(indir), store, str(tmp_path / "ckpt"), cfg)
+    q.awaitTermination(300)
+
+    labels = store.read(spark, "labels")
+    assert _partition(full.labels) == _partition(labels)
+    assert store.latest("extract")["rows"] == pages.count()
