@@ -271,6 +271,26 @@ def read_ivf_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance (the FAISS `add` pattern): assign
+    NEW vectors to the EXISTING trained cells and append into the
+    partitioned store — only the touched cell directories gain files,
+    committed rows are never rewritten, and probes stay
+    partition-pruned. Centroids are not retrained (per-batch retrain
+    would relabel the whole corpus); re-train + full rewrite is the
+    periodic maintenance action, exactly as IVF indexes are operated.
+    """
+    assign_ivf_cells(new_vectors, centroids, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(path)
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: np.ndarray,

@@ -157,3 +157,59 @@ def test_ivf_partitioned_index_prunes_files(clustered, spark, tmp_path):
     a = [r["vec_id"] for r in ivf_topk(store, cent, list(q), k=10, n_probe=n_probe).collect()]
     b = [r["vec_id"] for r in ivf_topk(indexed, cent, list(q), k=10, n_probe=n_probe).collect()]
     assert a == b
+
+
+def test_append_to_ivf_index_incremental(clustered, spark, tmp_path):
+    """FAISS-add pattern: new vectors append into the partitioned
+    store under their trained cells; probes over the updated index
+    find them, untouched cell directories gain no files, and the
+    appended assignment matches assign_ivf_cells exactly."""
+    import numpy as np
+
+    from epstein_pipeline_spark.operators.embed_pass import (
+        append_to_ivf_index,
+        assign_ivf_cells,
+        ivf_topk,
+        read_ivf_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cent = train_ivf_centroids(clustered, n_cells=8, sample_cap=500, seed=9)
+    base = clustered.filter(F.col("vec_id") % 5 != 0)
+    delta = clustered.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(assign_ivf_cells(base, cent), path)
+
+    import os
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                out[d] = len([f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")])
+        return out
+
+    before = files_per_cell()
+    append_to_ivf_index(delta, cent, path)
+    after = files_per_cell()
+    touched = {int(r["cell"]) for r in assign_ivf_cells(delta, cent).select("cell").distinct().collect()}
+    for d, n in after.items():
+        cell = int(d.split("=")[1])
+        if cell in touched:
+            assert n > before.get(d, 0)
+        else:
+            assert n == before.get(d, 0)  # untouched cells gain nothing
+
+    store = read_ivf_index(spark, path)
+    assert store.count() == clustered.count()
+    # a delta vector is now findable: query WITH its own embedding
+    probe_vec = delta.select("embedding").first()[0]
+    probe_id = delta.select("vec_id").first()[0]
+    hits = ivf_topk(store, cent, probe_vec, k=3, n_probe=8).collect()
+    assert probe_id in {r["vec_id"] for r in hits}
+    # appended rows carry the same cell assignment as a fresh assign
+    want = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(delta, cent).collect()}
+    got = {r["vec_id"]: r["cell"] for r in store.join(
+        delta.select("vec_id"), "vec_id", "left_semi").collect()}
+    assert got == want
