@@ -292,3 +292,71 @@ def test_stream_cluster_ingest_matches_full_run(spark, pages, tmp_path):
     labels = store.read(spark, "labels")
     assert _partition(full.labels) == _partition(labels)
     assert store.latest("extract")["rows"] == pages.count()
+
+
+@pytest.mark.parametrize(
+    "crash_after",
+    ["extract", "signatures", "minhash_candidates", "minhash_scored", "pairs", "labels"],
+)
+def test_ingest_crash_matrix_recovers(spark, tmp_path, crash_after):
+    """Kill-after-every-stage audit: run a complete ingest, then roll
+    every stage AFTER the crash point back to its pre-ingest manifest
+    (exactly the on-disk state a kill there leaves, since stages
+    commit in order). The rerun must converge to the same final
+    partition with no duplicate label/cluster rows."""
+    from pathlib import Path
+
+    order = ["extract", "signatures", "minhash_candidates",
+             "minhash_scored", "pairs", "labels", "clusters"]
+    t1 = " ".join(f"w{i:02d}" for i in range(150))
+    rows = [("u1", t1), ("u2", t1 + " tailone")]
+    base = spark.createDataFrame(rows, "url string, text string").select(
+        "url", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    delta = spark.createDataFrame(
+        [("u3", t1 + " tailtwo"), ("z9", " ".join(f"qq{i}" for i in range(160)))],
+        "url string, text string",
+    ).select(
+        "url", F.lit("2024-01-02 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    cfg = DedupConfig()
+    store = StageStore(tmp_path / "s")
+    run_dedup(spark, base, store, cfg, use_extracted=False)
+    saved = {
+        st: (Path(store.root) / st / "MANIFEST.json").read_text() for st in order
+    }
+    done = run_incremental(spark, delta, store, cfg, use_extracted=False)
+    want = _partition(done.labels)
+
+    # reconstruct the crash state: stages after the crash point revert
+    idx = order.index(crash_after)
+    for st in order[idx + 1:]:
+        (Path(store.root) / st / "MANIFEST.json").write_text(saved[st])
+
+    res = run_incremental(spark, delta, store, cfg, use_extracted=False)
+    assert _partition(res.labels) == want
+    assert res.labels.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    assert res.clusters.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    # APPEND stages at/before the crash point were reused, not
+    # recomputed (labels/clusters always redo — that redo is the
+    # idempotent part of the recovery contract)
+    for st in order[: idx + 1]:
+        if st != "labels" and st in res.stage_seconds:
+            assert res.stage_seconds[st] == 0.0, (st, res.stage_seconds)
+
+
+@pytest.mark.parametrize("salt", [11, 23, 37])
+def test_ingest_partition_equivalence_random_splits(spark, pages, tmp_path, salt):
+    """Property over arbitrary base/delta splits: any hash split of
+    the corpus (different salt = different split) must reproduce the
+    full-run partition through base + ingest."""
+    is_delta = F.pmod(F.xxhash64("url", F.lit(salt)), F.lit(3)) == 0
+    base, delta = pages.filter(~is_delta), pages.filter(is_delta)
+    cfg = DedupConfig()
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), cfg)
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, cfg)
+    inc = run_incremental(spark, delta, store, cfg)
+    assert _partition(full.labels) == _partition(inc.labels)
