@@ -160,7 +160,14 @@ def estimate_u(
         for k in range(nl)
     ]
     row = gam.agg(F.count(F.lit(1)).alias("__tot"), *aggs).collect()[0].asDict()
-    tot = max(row["__tot"], 1)
+    tot = row["__tot"]
+    if tot == 0:
+        # 0/1-row corpus: the sums come back NULL and would silently
+        # poison every weight with NaN — refuse instead
+        raise ValueError(
+            "estimate_u: no random pairs (persons table has < 2 rows); "
+            "too small to train — use the fixed weight table"
+        )
     u: dict[str, np.ndarray] = {}
     for col, nl in lv.items():
         cnt = np.array([row[f"{col}__{k}"] for k in range(nl)], dtype=np.float64)

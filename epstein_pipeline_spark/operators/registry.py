@@ -55,10 +55,24 @@ def fuzzy_match_mentions(
     (confidence.py:98-105)."""
     from pyspark.sql import Window
 
+    from epstein_pipeline_spark.functions.fuzzy import token_sort_expr
+
     reg = explode_registry(persons)
     m = mentions.select(F.col("mention"), normalize_text_expr("mention").alias("_m"))
+    # JVM levenshtein upper bound prunes BEFORE the Python InDel DP:
+    # indel_dist >= lev, so 1 - lev/(la+lb) >= indel_ratio — pairs the
+    # bound already puts below threshold (the vast majority in a
+    # first-char block) never reach the pandas UDF. Exactness
+    # preserved; same prune the title-fuzzy path uses.
+    ts_m = token_sort_expr(F.col("_m"))
+    ts_v = token_sort_expr(F.col("variant"))
+    lev_ok = (
+        F.lit(1.0)
+        - F.levenshtein(ts_m, ts_v) / (F.length(ts_m) + F.length(ts_v))
+    ) >= F.lit(threshold)
     scored = (
         m.join(F.broadcast(reg), F.substring(F.col("_m"), 1, 1) == F.substring(F.col("variant"), 1, 1))
+        .filter(lev_ok)
         .withColumn("score", F.round(token_sort_ratio_expr(F.col("_m"), F.col("variant")), 6))
         .filter(F.col("score") >= threshold)
     )

@@ -68,22 +68,12 @@ from epstein_pipeline_spark.plans.pipeline import PipelineResult, extract_stage
 
 
 def _delta_signatures(spark, docs_delta: DataFrame, cfg: DedupConfig) -> DataFrame:
-    from epstein_pipeline_spark.functions.minhash import make_minhash_udf
-    from epstein_pipeline_spark.functions.simhash import make_simhash_udf
+    """Delta signatures via the pipeline's OWN signatures_stage — one
+    body, so base-run and delta signatures can never drift apart
+    (the cluster-equivalence contract depends on byte-identity)."""
+    from epstein_pipeline_spark.plans.pipeline import signatures_stage
 
-    mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
-    sh_udf = make_simhash_udf()
-    nparts = spark.sparkContext.defaultParallelism * 4
-    return (
-        docs_delta.filter(
-            F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len)
-        )
-        .select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
-        .repartition(nparts)
-        .withColumn("sig", mh_udf("_norm"))
-        .withColumn("simhash", sh_udf("_norm"))
-        .select("url", "_len", "sig", "simhash")
-    )
+    return signatures_stage(spark, docs_delta, cfg)
 
 
 def _touched_bucket_pairs(
@@ -191,6 +181,19 @@ def run_incremental(
         parent_paths = m_ex.get("paths", [m_ex["path"]])[:-1]
         old_docs = spark.read.parquet(*parent_paths) if parent_paths else old_docs.limit(0)
     else:
+        if not _fresh("clusters", prior_ex["committed_at"]):
+            # a PREVIOUS ingest never completed; its docs are already
+            # in the committed extract, so this run's anti-join would
+            # silently drop them from the redo forever. Complete the
+            # pending ingest first (empty-delta recursion lands in the
+            # recovery branch above — no further recursion), then
+            # proceed against the consistent store. The extract chain
+            # is untouched by the recovery, labels/clusters are not.
+            run_incremental(
+                spark, new_pages.limit(0), store, cfg,
+                use_extracted=use_extracted, lcs_check=lcs_check,
+            )
+            old_labels = store.read(spark, "labels")
         m_ex = timed("extract", lambda: store.append("extract", docs_delta))
     ref_ts = m_ex["committed_at"]
     docs_all = store.read(spark, "extract")
@@ -226,7 +229,17 @@ def run_incremental(
         from epstein_pipeline_spark.operators.exact import exact_pairs
 
         internal = exact_pairs(docs_delta)
-        old_anchor = old_docs.groupBy("content_hash").agg(F.min("url").alias("_a"))
+        # restrict BEFORE grouping: a broadcast semi-join on the
+        # delta's (small) hash set keeps the anchor groupBy O(delta)
+        # instead of shuffling the whole committed corpus by
+        # content_hash on every ingest — the same pattern as the
+        # band-key semi-join in _touched_bucket_pairs
+        delta_hashes = docs_delta.select("content_hash").distinct()
+        old_anchor = (
+            old_docs.join(F.broadcast(delta_hashes), "content_hash", "left_semi")
+            .groupBy("content_hash")
+            .agg(F.min("url").alias("_a"))
+        )
         cross = (
             docs_delta.select("url", "content_hash")
             .join(old_anchor, "content_hash")

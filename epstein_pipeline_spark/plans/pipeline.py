@@ -73,6 +73,35 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     ).withColumn("content_hash", content_hash_expr("text"))
 
 
+def signatures_stage(spark: SparkSession, docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, _len, sig, simhash) for docs passing the shorter length
+    gate — ONE pass for both signature UDFs. Shared by the batch
+    pipeline and incremental ingest: the base/delta cluster-
+    equivalence contract requires both to compute byte-identical
+    signatures for the same document, so there is exactly one body.
+
+    docs.text is already normalized by extract (normalize is
+    idempotent) — re-normalizing here was a redundant full-corpus
+    regex pass in the single most expensive stage. Even round-robin
+    repartition before the signature UDF: input splits are byte-sized
+    off parquet files and leave a ragged tail wave; one cheap shuffle
+    buys evenly-loaded workers."""
+    from epstein_pipeline_spark.functions.minhash import make_minhash_udf
+    from epstein_pipeline_spark.functions.simhash import make_simhash_udf
+
+    mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    sh_udf = make_simhash_udf()
+    nparts = spark.sparkContext.defaultParallelism * 4
+    return (
+        docs.filter(F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len))
+        .select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
+        .repartition(nparts)
+        .withColumn("sig", mh_udf("_norm"))
+        .withColumn("simhash", sh_udf("_norm"))
+        .select("url", "_len", "sig", "simhash")
+    )
+
+
 def run_dedup(
     spark: SparkSession,
     pages: DataFrame,
@@ -121,29 +150,9 @@ def run_dedup(
     # once, scan once, commit once — the north_rule signatures
     # checkpoint); downstream band-explosion and verify joins reuse the
     # committed table instead of re-running the pandas UDFs
-    def build_signatures() -> DataFrame:
-        from epstein_pipeline_spark.functions.minhash import make_minhash_udf
-        from epstein_pipeline_spark.functions.simhash import make_simhash_udf
-
-        mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
-        sh_udf = make_simhash_udf()
-        # NOTE: docs.text is already normalized by extract (normalize
-        # is idempotent) — re-normalizing here was a redundant
-        # full-corpus regex pass in the single most expensive stage.
-        # Even round-robin repartition before the signature UDF: input
-        # splits are byte-sized off parquet files and leave a ragged
-        # tail wave; one cheap shuffle buys evenly-loaded workers.
-        nparts = spark.sparkContext.defaultParallelism * 4
-        return (
-            docs.filter(F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len))
-            .select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
-            .repartition(nparts)
-            .withColumn("sig", mh_udf("_norm"))
-            .withColumn("simhash", sh_udf("_norm"))
-            .select("url", "_len", "sig", "simhash")
-        )
-
-    all_sigs = staged("signatures", build_signatures, {"docs_in": n_docs})
+    all_sigs = staged(
+        "signatures", lambda: signatures_stage(spark, docs, cfg), {"docs_in": n_docs}
+    )
     mh_sigs = all_sigs.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
     sh_sigs = all_sigs.filter(F.col("_len") > cfg.simhash_min_len).select("url", "simhash")
 

@@ -165,3 +165,12 @@ def test_trained_resolution_on_near_unique_corpus(spark):
     assert len(res) == 62
     assert res[0] == res[1_000_000] == res[2_000_000]
     assert len(set(res.values())) == 60  # 59 singletons + the pid-0 group
+
+
+def test_estimate_u_refuses_tiny_corpus(spark):
+    p = spark.createDataFrame(
+        [(1, "a b", "a", "b", "a. b", "x")],
+        "pid long, name string, first_name string, last_name string, aliases string, category string",
+    )
+    with pytest.raises(ValueError, match="too small to train"):
+        estimate_u(p, max_pairs=100)

@@ -360,3 +360,31 @@ def test_ingest_partition_equivalence_random_splits(spark, pages, tmp_path, salt
     run_dedup(spark, base, store, cfg)
     inc = run_incremental(spark, delta, store, cfg)
     assert _partition(full.labels) == _partition(inc.labels)
+
+
+def test_new_delta_completes_pending_crashed_ingest_first(spark, pages, tmp_path):
+    """Delta A's ingest crashes after the extract append; the operator
+    then ingests a DIFFERENT delta B. A's docs are already in the
+    committed extract (B's anti-join would skip them) — the run must
+    first complete A's pending ingest, then fold B, ending at the
+    full-corpus partition."""
+    from pathlib import Path
+
+    from epstein_pipeline_spark.plans.pipeline import extract_stage
+
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    base = pages.filter(h >= 2)
+    da = pages.filter(h == 0)
+    db = pages.filter(h == 1)
+    cfg = DedupConfig()
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), cfg)
+
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, cfg)
+    # crash simulation: delta A got only as far as the extract append
+    store.append("extract", extract_stage(da))
+
+    res = run_incremental(spark, db, store, cfg)
+    assert _partition(full.labels) == _partition(res.labels)
+    assert store.latest("extract")["rows"] == pages.count()
+    assert res.labels.groupBy("url").count().filter(F.col("count") > 1).count() == 0
