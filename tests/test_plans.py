@@ -137,3 +137,57 @@ def test_entity_extract_is_jvm_only_single_scan(spark):
     assert "EvalPython" not in p  # no Arrow/Batch python nodes
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
     assert "Scan parquet" in p
+
+
+def test_incremental_candidates_semi_join_is_broadcast(spark):
+    """The incremental plan's O(new + affected) shape, pinned at the
+    physical level: (a) the old-corpus band rows are cut by a
+    BROADCAST left-semi join on the delta's bucket keys (a shuffled
+    semi would be an O(corpus) exchange per ingest), and (b) the
+    exact-pass anchor groupBy runs over the broadcast-semi-restricted
+    old docs, not the whole corpus."""
+    from epstein_pipeline_spark.operators.lsh import band_rows
+    from epstein_pipeline_spark.plans.incremental import _touched_bucket_pairs
+
+    cfg = DedupConfig()
+    old = spark.createDataFrame(
+        [(f"u{i}", [i] * cfg.num_perm) for i in range(50)], "url string, sig array<long>"
+    )
+    delta = spark.createDataFrame(
+        [(f"d{i}", [i] * cfg.num_perm) for i in range(5)], "url string, sig array<long>"
+    )
+    pairs = _touched_bucket_pairs(
+        band_rows(old, cfg), band_rows(delta, cfg),
+        ["band_i", "band_hash"], ["url"], cfg.band_bucket_cap,
+    )
+    p = plan(pairs)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:2000]
+    # the semi join must NOT be a sort-merge (shuffle both sides)
+    semi_lines = [l for l in p.splitlines() if "LeftSemi" in l]
+    assert all("SortMergeJoin" not in l for l in semi_lines), semi_lines
+
+
+def test_incremental_exact_anchor_is_delta_restricted(spark, pages, tmp_path):
+    """build_exact's anchor: old docs pass through a broadcast semi
+    join on the delta's content hashes BEFORE the groupBy — the
+    grouped set is O(delta), and the plan shows the broadcast."""
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+    from epstein_pipeline_spark.plans.pipeline import run_dedup
+
+    base = pages.filter(F.pmod(F.xxhash64("url"), F.lit(4)) != 0).limit(60)
+    store = StageStore(tmp_path / "s")
+    run_dedup(spark, base, store, DedupConfig())
+    old_docs = store.read(spark, "extract")
+    delta_hashes = (
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+        .limit(10)
+        .select(content_hash_expr(normalize_text_expr("text")).alias("content_hash"))
+        .distinct()
+    )
+    anchor = (
+        old_docs.join(F.broadcast(delta_hashes), "content_hash", "left_semi")
+        .groupBy("content_hash")
+        .agg(F.min("url").alias("_a"))
+    )
+    p = plan(anchor)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
