@@ -60,6 +60,34 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_compact(args) -> None:
+    """Store maintenance: rewrite append chains into single snapshots
+    (Iceberg rewrite_data_files analog). Compacts the given stages or,
+    by default, every stage with a chained manifest."""
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+
+    spark = SparkSession.builder.appName("epstein_pipeline_spark.compact").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    store = StageStore(args.store)
+    import os
+
+    stages = args.stages.split(",") if args.stages else [
+        d for d in sorted(os.listdir(args.store))
+        if not d.startswith("_") and store.has(d)
+    ]
+    t0 = time.time()
+    done = {}
+    for st in stages:
+        m = store.latest(st)
+        chained = m is not None and len(m.get("paths", [m["path"]])) > 1
+        if chained:
+            store.compact(spark, st)
+        done[st] = "compacted" if chained else "single-snapshot"
+    print(json.dumps({"stages": done, "seconds": round(time.time() - t0, 2)}))
+
+
 def cmd_export(args) -> None:
     """Export a parquet table to JSON-lines / CSV / SQLite(+FTS5)
     (reference cli.py export commands; exporters/sqlite_export.py).
@@ -219,6 +247,11 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--no-lcs", action="store_true")
     d.add_argument("--no-resume", action="store_true")
     d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("compact", help="rewrite a store's append chains into single snapshots")
+    c.add_argument("--store", required=True)
+    c.add_argument("--stages", default=None, help="comma-separated; default: all chained stages")
+    c.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("export", help="export a parquet table to json / csv / sqlite+FTS5")
     e.add_argument("--input", required=True, help="parquet table (docs schema for csv/sqlite)")
