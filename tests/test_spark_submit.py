@@ -9,6 +9,7 @@ import sys
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -86,3 +87,30 @@ def test_spark_submit_resolve_trained(zipfile_path, tmp_path, spark):
     # n=120 -> 20 twins (pid%6==0) + 12 copies (pid%10==0) = 32 merges
     assert res["input_records"] == 152
     assert res["merges"] == 32 and res["trained"] is True
+
+
+def test_spark_submit_ingest_after_dedup(zipfile_path, tmp_path, spark):
+    """ingest through the real binary: base dedup + streamed-in delta
+    reproduces the full-corpus totals (docs/pairs/clusters)."""
+    from epstein_pipeline_spark.synth import generate_corpus, pages_to_spark
+
+    pages = pages_to_spark(spark, generate_corpus(n_pages=300, seed=12, mega_cluster_size=15), partitions=4)
+    is_d = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    base_p, delta_p, full_p = tmp_path / "base", tmp_path / "delta", tmp_path / "fullpages"
+    pages.filter(~is_d).write.parquet(str(base_p))
+    pages.filter(is_d).write.parquet(str(delta_p))
+    pages.write.parquet(str(full_p))
+
+    out_full = _submit(
+        zipfile_path, "dedup", "--input", str(full_p),
+        "--store", str(tmp_path / "fs"), "--output", str(tmp_path / "fc"),
+    )
+    full = json.loads(out_full.strip().splitlines()[-1])
+
+    _submit(zipfile_path, "dedup", "--input", str(base_p),
+            "--store", str(tmp_path / "s"), "--output", str(tmp_path / "c0"))
+    out = _submit(zipfile_path, "ingest", "--input", str(delta_p),
+                  "--store", str(tmp_path / "s"), "--output", str(tmp_path / "c1"))
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["docs_total"] == 300
+    assert res["clusters_rows"] == full["clusters_rows"]
