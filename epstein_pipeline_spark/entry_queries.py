@@ -480,8 +480,18 @@ def q_customer_fuzzy_pairs(spark, sf):
     # 'Customer#000...' prefix, so q-gram partition blocks are
     # degenerate); the scale-path answer for real name data is
     # operators/fuzzy_title.py's first-token blocking.
+    # ORACLE SCOPE: O_CUSTOMER_FUZZY is an exact all-pairs join, so
+    # this query matches it only while every nation block stays under
+    # the cap (sf0.1: max block 642 — the guard never fires at
+    # correctness/bench scales; at sf >= ~0.34 blocks would exceed it
+    # and sub-salting would legitimately drop cross-sub pairs the
+    # exact oracle keeps). Cap comes from the config knob, not a
+    # literal, so retuning fuzzy_block_cap keeps query and guard in
+    # step.
+    from epstein_pipeline_spark.config import DEFAULT_CONFIG as _cfg
+
     pairs = salted_block_join(
-        c, "c_nationkey", ["c_custkey", "c_name"], cap=2000
+        c, "c_nationkey", ["c_custkey", "c_name"], cap=_cfg.fuzzy_block_cap
     )
     return (
         pairs.withColumn(

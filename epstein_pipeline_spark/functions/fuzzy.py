@@ -44,7 +44,7 @@ def py_indel_ratio(a: str, b: str) -> float:
         return 0.0
     if a == b:
         return 1.0
-    if la < lb:  # iterate over the shorter string: fewer numpy passes
+    if la > lb:  # iterate over the SHORTER string: fewer numpy passes
         a, b, la, lb = b, a, lb, la
     bcodes = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
     old = np.zeros(lb + 1, dtype=np.int32)

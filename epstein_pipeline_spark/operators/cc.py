@@ -52,9 +52,9 @@ def _salted_join(
     """
     if salt <= 1:
         return adj.join(m.select("src", "m"), "src")
-    # m feeds THREE consumers below (hot-key broadcast, replication,
-    # and nothing else reuses it) — without a checkpoint the groupBy
-    # aggregation behind it would run once per consumer per round
+    # m feeds TWO consumers below (hot-key broadcast + replication)
+    # — without a checkpoint the groupBy aggregation behind it would
+    # run once per consumer per round
     m = m.localCheckpoint(eager=False)
     hot_keys = m.filter(F.col("deg") >= F.lit(hot_min)).select("src")
     tagged = adj.join(
@@ -162,11 +162,22 @@ def connected_components(
     """
     spark = pairs.sparkSession
     if local_max_edges > 0:
-        # limit+count instead of a full count: past the gate we only
-        # need to know "too big", not how big
-        sample = pairs.limit(local_max_edges + 1).count()
-        if sample <= local_max_edges:
-            return _cc_local(pairs, nodes)
+        # ONE execution answers both the size gate and (when small)
+        # supplies the edges — a separate limit+count followed by a
+        # collect would run an un-materialized upstream plan twice,
+        # doubling exactly the cost the gate exists to avoid. NULL
+        # endpoints and self-loops are dropped here like the star
+        # loop's `src != dst` filter always did (a NULL id would
+        # TypeError inside python union-find's `<` compare).
+        rows = (
+            pairs.select("url1", "url2")
+            .filter(F.col("url1").isNotNull() & F.col("url2").isNotNull())
+            .filter(F.col("url1") != F.col("url2"))
+            .limit(local_max_edges + 1)
+            .collect()
+        )
+        if len(rows) <= local_max_edges:
+            return _cc_local_rows(pairs, rows, nodes)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if loop_shuffle_partitions is None:
         # tiny-loop default: a handful of tasks per core — at 32+
@@ -183,12 +194,12 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def _cc_local(pairs: DataFrame, nodes: DataFrame | None) -> DataFrame:
-    """Driver-side union-find for gate-sized edge lists. Labels are
+def _cc_local_rows(pairs: DataFrame, rows: list, nodes: DataFrame | None) -> DataFrame:
+    """Driver-side union-find for gate-sized edge lists (rows already
+    collected by the size gate — one plan execution total). Labels are
     IDENTICAL to the star loop's (min-id roots; `<` on the id type —
     Python string compare and Spark's UTF8 binary compare agree)."""
     spark = pairs.sparkSession
-    rows = pairs.select("url1", "url2").collect()
     labels = py_union_find([(r["url1"], r["url2"]) for r in rows])
     dt = pairs.schema["url1"].dataType
     schema = T.StructType(
@@ -247,7 +258,7 @@ def _cc_loop(
     labels = labels.union(roots).groupBy("url").agg(F.min("cluster_id").alias("cluster_id"))
 
     if nodes is not None:
-        # FULL outer, same contract as _cc_local: nodes add singletons
+        # FULL outer, same contract as _cc_local_rows: nodes add singletons
         labels = (
             nodes.select(F.col(nodes.columns[0]).alias("url"))
             .distinct()

@@ -43,11 +43,19 @@ def select_ocr_result(
     )
     accepted = F.filter(nonempty, lambda c: c["confidence"] >= F.lit(threshold))
     first_ok = F.get(accepted, 0)  # NULL when nothing crossed the threshold
+    # null-safe best: `c.conf > acc.conf` is NULL when either side is
+    # NULL, and F.when(NULL, ...) falls through — a NULL-confidence
+    # candidate that seeded the accumulator could never be displaced.
+    # coalesce(conf, -inf) ranks NULL confidence below every real one,
+    # matching the oracle's ORDER BY conf DESC NULLS LAST.
+    neg_inf = F.lit(float("-inf"))
     best = F.aggregate(
         nonempty,
         F.lit(None).cast(elem_type),
         lambda acc, c: F.when(
-            acc.isNull() | (c["confidence"] > acc["confidence"]), c
+            acc.isNull()
+            | (F.coalesce(c["confidence"], neg_inf) > F.coalesce(acc["confidence"], neg_inf)),
+            c,
         ).otherwise(acc),
     )
     chosen = F.coalesce(first_ok, best)
@@ -59,7 +67,7 @@ def select_ocr_result(
         .withColumn(
             "low_confidence",
             F.col("_chosen").isNotNull()
-            & (F.col("_chosen")["confidence"] < F.lit(threshold)),
+            & (F.coalesce(F.col("_chosen")["confidence"], neg_inf) < F.lit(threshold)),
         )
         .drop("_chosen")
     )

@@ -41,19 +41,25 @@ def guarded_block_pairs(
 
     Rows with a NULL block key never pair (same as the equi-join they
     replace). Returns struct columns ``a`` and ``b``; the FIRST entry
-    of ``payload_cols`` is the id/order key (pairs satisfy a.id < b.id).
+    of ``payload_cols`` is the id/order key (pairs satisfy
+    a.id < b.id — duplicate-id rows sort adjacent in the member array
+    and would otherwise emit an id-equal self 'pair' the strict `<`
+    join this replaces structurally excluded).
     """
     from epstein_pipeline_spark.operators.lsh import bucket_pairs_expr
 
+    id_col = payload_cols[0]
     buckets = (
         df.filter(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .agg(F.array_sort(F.collect_list(F.struct(*payload_cols))).alias("_ms"))
         .filter(F.size("_ms") >= 2)
     )
-    return buckets.select(
-        F.explode(bucket_pairs_expr(F.col("_ms"), cap)).alias("_p")
-    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    return (
+        buckets.select(F.explode(bucket_pairs_expr(F.col("_ms"), cap)).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    )
 
 
 def salted_block_join(
@@ -69,8 +75,12 @@ def salted_block_join(
     ``ceil(n/cap)`` hash buckets via a broadcast size lookup and
     self-joins on (block, sub). Blocks <= cap get sub=0 everywhere —
     EXACT all-pairs; oversized blocks degrade to O(n*cap) within-sub
-    pairs (cross-sub matches are the sacrificed tail, same contract as
-    chain+star). Whole-stage codegen is preserved end-to-end.
+    pairs. NOTE the degradation differs from chain+star: cross-sub
+    pairs are sacrificed WITHOUT a connectivity guarantee, so feed
+    this variant to scorers/oracles, NOT to connected-components
+    pipelines that rely on every true cluster staying connected
+    (guarded_block_pairs is the CC-safe guard). Whole-stage codegen is
+    preserved end-to-end.
 
     Same output contract as guarded_block_pairs: struct columns ``a``
     and ``b`` with a.<id> < b.<id>; NULL block keys never pair.

@@ -6,9 +6,10 @@ first/last name [0.95, 0.88], aliases [0.88], exact category —
 blocking on name_lower / last_name, match-probability threshold 0.85
 (config.py:129), then clusters pairwise predictions.
 
-Spark restatement: EM weight *training* is scoped out (SURVEY §2); the
-comparison-vector → match-probability machinery is not. Each tier
-carries a FIXED log2-Bayes-factor weight; the pair score is
+Spark restatement: each tier carries a log2-Bayes-factor weight —
+the FIXED table below by default, or Splink-style EM-trained weights
+from ``operators/em_training.py`` (resolve_persons(train=True)).
+The pair score is
 
     logit2 = prior + sum(tier weights),  p = 2^logit2 / (1 + 2^logit2)
 
@@ -96,6 +97,8 @@ def jw_tier_bound(s1: str, s2: str) -> float:
     monotone in jaro with prefix <= 4, so ``jw <= 0.6*jaro_ub + 0.4``
     once jaro_ub > 0.7. Never below the true score."""
     l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # matches py_jaro_winkler's empty contract
     c1 = Counter(s1)
     m_ub = sum(min(c1[ch], n) for ch, n in Counter(s2).items())
     jaro_ub = (m_ub / l1 + m_ub / l2 + 1.0) / 3.0

@@ -60,7 +60,16 @@ def main() -> None:
     n_edges = edges.count()
     hot_degree = mega_nodes // 2 + 1  # star + one chain hop
 
-    hot_min = int(os.environ.get("CC_SALT_HOT_DEGREE", "500000"))
+    # the salt threshold must sit BELOW the planted hub degree or the
+    # "salted" legs silently take the cold path and measure nothing
+    # but the broadcast-tag overhead (the original default of 500k
+    # made the small-scale row a no-op — caught in review)
+    hot_min = int(os.environ.get("CC_SALT_HOT_DEGREE", str(max(1000, hot_degree // 2))))
+    if hot_degree < hot_min:
+        raise SystemExit(
+            f"planted hub degree {hot_degree} < salt_hot_degree {hot_min}: "
+            "the salted run would never salt — lower CC_SALT_HOT_DEGREE"
+        )
 
     def run(salt: int) -> tuple[float, int]:
         t0 = time.time()

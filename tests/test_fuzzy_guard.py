@@ -297,3 +297,18 @@ def test_token_sort_ratio_matches_naive_composition(a, b):
         " ".join(sorted(a.split())), " ".join(sorted(b.split()))
     )
     assert abs(py_token_sort_ratio(a, b) - want) < 1e-12
+
+
+def test_guarded_block_pairs_excludes_duplicate_id_self_pairs(spark):
+    """A repeated id in one block (same person row ingested twice)
+    must not emit an id-equal 'pair' — the strict < join the guard
+    replaces structurally excluded self-pairs."""
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (2, "b"), (3, "c"), (3, "c")], "id long, blk string"
+    )
+    got = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in guarded_block_pairs(df, "blk", ["id"], cap=100).collect()
+    }
+    assert all(x != y for x, y in got), got
+    assert got == {(1, 2)}

@@ -88,3 +88,18 @@ def test_low_conf_pages_are_one_indexed(spark):
     )
     out = df.select(low_conf_pages_expr(F.col("page_confs"), 0.6).alias("p"))
     assert out.collect()[0]["p"] == [2, 4]
+
+
+def test_null_confidence_candidate_never_beats_real_one(spark):
+    """A non-empty candidate with NULL confidence must lose the
+    best-candidate fallback to any real-confidence candidate (NULL
+    comparison previously froze the accumulator on it)."""
+    from epstein_pipeline_spark.operators.ocr_chain import select_ocr_result
+
+    df = spark.createDataFrame(
+        [("d1", [("b0", "texty", None), ("b1", "better", 0.5)])],
+        "id string, cands array<struct<backend:string,text:string,confidence:double>>",
+    )
+    r = select_ocr_result(df, "cands", threshold=0.6).first()
+    assert r["ocr_backend"] == "b1" and r["ocr_confidence"] == 0.5
+    assert r["low_confidence"] is True
