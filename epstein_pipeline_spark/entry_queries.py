@@ -1362,7 +1362,13 @@ def q_ocr_chain_select(spark, sf):
         txt = F.when(
             (F.col("doc_id") * 7 + i) % 5 == 0, F.lit("")
         ).otherwise(F.substring("text", 1, 50 + i))
-        conf = F.round(((F.col("doc_id") * 31 + i * 17) % 100) / 100.0, 2)
+        # plant NULL confidences (backend reported none): doc_id % 9
+        # in {0,1,2} makes ALL THREE NULL for doc_id % 9 == 0 (chosen
+        # candidate carries NULL conf -> low_confidence, the case the
+        # r3 oracle never exercised) and a NULL/real mix elsewhere
+        conf = F.when(
+            (F.col("doc_id") + i) % 9 < 3, F.lit(None).cast("double")
+        ).otherwise(F.round(((F.col("doc_id") * 31 + i * 17) % 100) / 100.0, 2))
         cands.append(
             F.struct(
                 F.lit(f"b{i}").alias("backend"),
@@ -1386,7 +1392,9 @@ WITH c AS (
          'b' || CAST(i AS VARCHAR) AS backend,
          CASE WHEN (doc_id*7 + i) % 5 = 0 THEN ''
               ELSE substr(text, 1, 50 + CAST(i AS INT)) END AS ctext,
-         round(CAST((doc_id*31 + i*17) % 100 AS DOUBLE)/100.0, 2) AS conf
+         CASE WHEN (doc_id + i) % 9 < 3 THEN NULL
+              ELSE round(CAST((doc_id*31 + i*17) % 100 AS DOUBLE)/100.0, 2)
+         END AS conf
   FROM documents, (SELECT unnest([0, 1, 2]) AS i)
 ), ne AS (
   SELECT * FROM c WHERE trim(ctext) <> ''
@@ -1395,15 +1403,22 @@ WITH c AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
   FROM ne WHERE conf >= 0.6
 ), best AS (
+  -- NULLS LAST mirrors the engine's coalesce(conf, -inf) ranking: a
+  -- NULL-confidence candidate loses to every real one, earliest wins
+  -- among equals/NULLs
   SELECT doc_id, backend, ctext, conf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY conf DESC, i ASC) AS rn
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY conf DESC NULLS LAST, i ASC) AS rn
   FROM ne
 )
 SELECT d.doc_id,
        coalesce(f.backend, b.backend) AS ocr_backend,
        coalesce(f.conf, b.conf) AS ocr_confidence,
-       (coalesce(f.conf, b.conf) IS NOT NULL
-        AND coalesce(f.conf, b.conf) < 0.6) AS low_confidence,
+       -- missing confidence counts as LOW (reference keeps it only as
+       -- a below-threshold candidate, ocr.py:805-807); a doc with no
+       -- non-empty candidate at all is NOT flagged
+       (coalesce(f.backend, b.backend) IS NOT NULL
+        AND coalesce(coalesce(f.conf, b.conf) < 0.6, TRUE)) AS low_confidence,
        length(coalesce(f.ctext, b.ctext, '')) AS ocr_len
 FROM documents d
 LEFT JOIN (SELECT * FROM first_ok WHERE rn = 1) f USING (doc_id)

@@ -35,6 +35,14 @@ def select_ocr_result(
     confidence:double>> in CHAIN ORDER. A document whose candidates are
     all empty-text gets ocr_text='' and NULL backend/confidence
     (reference md_text='' / ocr_confidence=None, ocr.py:829-830).
+
+    NULL-confidence semantics (pinned by the ocr_chain_select oracle):
+    a candidate reporting no confidence can never cross the threshold,
+    ranks below every real-confidence candidate in the best-so-far
+    fallback, and — when it still ends up chosen — the selection is
+    flagged ``low_confidence`` (missing confidence counts as low; the
+    reference only ever keeps such a result as a below-threshold
+    candidate, ocr.py:805-807).
     """
     elem_type = df.schema[candidates_col].dataType.elementType
     cands = F.col(candidates_col)

@@ -66,10 +66,14 @@ def fuzzy_match_mentions(
     # preserved; same prune the title-fuzzy path uses.
     ts_m = token_sort_expr(F.col("_m"))
     ts_v = token_sort_expr(F.col("variant"))
-    lev_ok = (
-        F.lit(1.0)
-        - F.levenshtein(ts_m, ts_v) / (F.length(ts_m) + F.length(ts_v))
-    ) >= F.lit(threshold)
+    # both-empty guard: the division is NULL at length 0+0 and the
+    # filter would drop the pair, while the exact InDel ratio defines
+    # empty-vs-empty as 1.0 (same guard title_fuzzy_pairs applies)
+    len_sum = F.length(ts_m) + F.length(ts_v)
+    lev_bound = F.when(len_sum == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(ts_m, ts_v) / len_sum
+    )
+    lev_ok = lev_bound >= F.lit(threshold)
     scored = (
         m.join(F.broadcast(reg), F.substring(F.col("_m"), 1, 1) == F.substring(F.col("variant"), 1, 1))
         .filter(lev_ok)

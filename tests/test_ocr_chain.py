@@ -103,3 +103,14 @@ def test_null_confidence_candidate_never_beats_real_one(spark):
     r = select_ocr_result(df, "cands", threshold=0.6).first()
     assert r["ocr_backend"] == "b1" and r["ocr_confidence"] == 0.5
     assert r["low_confidence"] is True
+
+
+def test_chosen_null_confidence_is_flagged_low(spark):
+    """Missing confidence counts as LOW: when every non-empty candidate
+    reports NULL confidence the earliest one is chosen, ocr_confidence
+    stays NULL and low_confidence fires (oracle-aligned, r3 advice)."""
+    got = _run(
+        spark,
+        [("d1", [("b0", "", None), ("b1", "texty", None), ("b2", "later", None)])],
+    )
+    assert got["d1"] == ("b1", "texty", None, True)
