@@ -150,9 +150,12 @@ def connected_components(
     (dedup.py:183-206) in one pass — the distributed loop's 4-6 s of
     per-round job-scheduling floors (O(log n) rounds x several
     shuffles each) dwarf the actual work on small graphs, and those
-    floors do not shrink with executors. 1M edges is ~50 MB on the
-    driver; a 10^12-page corpus is far past the gate and runs the
-    star loop. ``local_max_edges=0`` forces the distributed path.
+    floors do not shrink with executors. Driver cost of the probe is
+    Arrow-columnar (~120 MB at the 1M default with ~60-char urls, no
+    per-row Python objects), and the Python tuple list (~400 MB-class)
+    is built only when the local path runs; a 10^12-page corpus is far
+    past the gate and runs the star loop. ``local_max_edges=0`` forces
+    the distributed path.
 
     The edge list is orders of magnitude smaller than the corpus, so
     the loop runs at ``loop_shuffle_partitions`` (task-launch latency
@@ -165,19 +168,28 @@ def connected_components(
         # ONE execution answers both the size gate and (when small)
         # supplies the edges — a separate limit+count followed by a
         # collect would run an un-materialized upstream plan twice,
-        # doubling exactly the cost the gate exists to avoid. NULL
-        # endpoints and self-loops are dropped here like the star
+        # doubling exactly the cost the gate exists to avoid. The
+        # collect goes through Arrow (columnar, no per-row Row
+        # objects): a 1M-edge probe of two ~60-char urls is ~120 MB of
+        # Arrow buffers, freed immediately when the gate rejects —
+        # Python string/tuple objects are only built when the local
+        # path actually runs (where union-find needs them anyway).
+        # NULL endpoints and self-loops are dropped here like the star
         # loop's `src != dst` filter always did (a NULL id would
         # TypeError inside python union-find's `<` compare).
-        rows = (
+        tbl = (
             pairs.select("url1", "url2")
             .filter(F.col("url1").isNotNull() & F.col("url2").isNotNull())
             .filter(F.col("url1") != F.col("url2"))
             .limit(local_max_edges + 1)
-            .collect()
+            .toArrow()
         )
-        if len(rows) <= local_max_edges:
-            return _cc_local_rows(pairs, rows, nodes)
+        if tbl.num_rows <= local_max_edges:
+            edge_list = list(
+                zip(tbl.column("url1").to_pylist(), tbl.column("url2").to_pylist())
+            )
+            return _cc_local_rows(pairs, edge_list, nodes)
+        del tbl
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if loop_shuffle_partitions is None:
         # tiny-loop default: a handful of tasks per core — at 32+
@@ -194,13 +206,15 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def _cc_local_rows(pairs: DataFrame, rows: list, nodes: DataFrame | None) -> DataFrame:
-    """Driver-side union-find for gate-sized edge lists (rows already
+def _cc_local_rows(
+    pairs: DataFrame, edge_list: list[tuple], nodes: DataFrame | None
+) -> DataFrame:
+    """Driver-side union-find for gate-sized edge lists (edges already
     collected by the size gate — one plan execution total). Labels are
     IDENTICAL to the star loop's (min-id roots; `<` on the id type —
     Python string compare and Spark's UTF8 binary compare agree)."""
     spark = pairs.sparkSession
-    labels = py_union_find([(r["url1"], r["url2"]) for r in rows])
+    labels = py_union_find(edge_list)
     dt = pairs.schema["url1"].dataType
     schema = T.StructType(
         [T.StructField("url", dt), T.StructField("cluster_id", dt)]

@@ -63,7 +63,11 @@ def guarded_block_pairs(
 
 
 def salted_block_join(
-    df: DataFrame, block_col: str, payload_cols: list[str], cap: int
+    df: DataFrame,
+    block_col: str,
+    payload_cols: list[str],
+    cap: int,
+    broadcast_max_blocks: int = 2_000_000,
 ) -> DataFrame:
     """The dense-block variant of the blocked-pair skew guard.
 
@@ -84,12 +88,28 @@ def salted_block_join(
 
     Same output contract as guarded_block_pairs: struct columns ``a``
     and ``b`` with a.<id> < b.<id>; NULL block keys never pair.
+
+    The per-block size lookup is one row per DISTINCT block value — a
+    broadcast is right for name-token/nation-key cardinalities but a
+    web-scale block key (host: 10^8+) would make it a multi-GB driver
+    artifact. The broadcast is therefore GATED on a cheap
+    ``approx_count_distinct`` probe (one narrow map-side-partial pass
+    over the block column, 5%% error is plenty for a size gate); past
+    ``broadcast_max_blocks`` the sizes join falls back to a shuffled
+    equi-join (AQE may still runtime-convert it if the table proves
+    small). ``broadcast_max_blocks=0`` forces the shuffle path.
     """
     id_col = payload_cols[0]
     sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    if broadcast_max_blocks > 0:
+        n_blocks = df.agg(
+            F.approx_count_distinct(block_col).alias("n")
+        ).collect()[0]["n"]
+        if n_blocks <= broadcast_max_blocks:
+            sizes = F.broadcast(sizes)
     t = (
         df.filter(F.col(block_col).isNotNull())
-        .join(F.broadcast(sizes), block_col)
+        .join(sizes, block_col)
         .withColumn(
             "_sub",
             F.pmod(

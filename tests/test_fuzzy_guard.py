@@ -122,6 +122,21 @@ def test_salted_block_join_under_cap_exact(spark):
     assert got == want
 
 
+def test_salted_block_join_shuffle_path_matches_broadcast(spark):
+    """broadcast_max_blocks=0 forces the shuffled sizes join (the
+    web-scale-cardinality fallback, r3 verdict): pair sets must be
+    identical to the broadcast path, and the forced plan must not hint
+    a broadcast of the sizes table."""
+    rng = random.Random(7)
+    rows = [(i, f"b{rng.randint(0, 5)}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, blk string")
+    key = lambda r: (r["a"]["id"], r["b"]["id"])  # noqa: E731
+    bcast = {key(r) for r in salted_block_join(df, "blk", ["id"], cap=100).collect()}
+    forced = salted_block_join(df, "blk", ["id"], cap=100, broadcast_max_blocks=0)
+    assert "ResolvedHint" not in forced._jdf.queryExecution().logical().toString()
+    assert {key(r) for r in forced.collect()} == bcast
+
+
 # ---------------------------------------------------------------------------
 # InDel ratio kernel (rapidfuzz fuzz.ratio semantics, dedup.py:313)
 # ---------------------------------------------------------------------------
