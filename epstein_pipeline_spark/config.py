@@ -61,6 +61,14 @@ class DedupConfig:
     # on the exact all-pairs path.
     cc_checkpoint_every: int = 3  # cut lineage in the CC loop
     cc_max_iters: int = 50
+    ingest_broadcast_max_rows: int = 2_000_000  # incremental ingest
+    # broadcasts delta-derived key sets (band keys, hashes, touched
+    # urls/cluster ids) only while the committed delta is at/under this
+    # row count; a backfill-sized delta would blow the broadcast limit
+    # and driver memory, so past it every such join degrades to a
+    # shuffled semi/equi join (plans/incremental.py). 2M rows of band
+    # keys is ~32M short rows broadcast-side worst case — well inside
+    # the 8 GB hard limit; 0 forces the shuffled path.
 
     # -- misc --
     salt_buckets: int = 8  # CC star-join hot-root salting factor

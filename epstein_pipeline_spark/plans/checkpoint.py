@@ -60,10 +60,22 @@ class StageStore:
         return self.latest(stage) is not None
 
     # -- commit / read ---------------------------------------------------
-    def commit(self, stage: str, df: DataFrame, counters: dict | None = None) -> dict:
+    def commit(
+        self,
+        stage: str,
+        df: DataFrame,
+        counters: dict | None = None,
+        extra: dict | None = None,
+    ) -> dict:
         """Write df as the next snapshot of `stage`, atomically commit,
-        record per-partition lineage."""
+        record per-partition lineage. ``extra`` keys are merged into
+        the manifest (e.g. ``for_extract_snapshot`` — the lineage
+        pointer the incremental plan's freshness rule compares; an id
+        comparison is immune to wall-clock steps between process
+        restarts, unlike the committed_at timestamps)."""
         m = self._write_snapshot(stage, df, counters)
+        if extra:
+            m = dict(m, **extra)
         self._publish(stage, m)
         return m
 
@@ -134,23 +146,47 @@ class StageStore:
             "committed_at": now,
         }
 
-    def append(self, stage: str, delta: DataFrame, counters: dict | None = None) -> dict:
+    def append(
+        self,
+        stage: str,
+        delta: DataFrame,
+        counters: dict | None = None,
+        extra: dict | None = None,
+    ) -> dict:
         """Commit ``delta`` as an APPEND snapshot: the new manifest
         carries the parent's data paths plus the delta's, and ``read``
         returns their union — the Iceberg append-snapshot contract
         (incremental ingest never rewrites committed data files).
         The chained manifest is published exactly once (atomically);
-        falls back to a plain commit when the stage has no snapshot."""
+        falls back to a plain commit when the stage has no snapshot.
+
+        Manifest invariants the incremental plan's crash recovery
+        relies on (asserted here so they are executable, not comments):
+        ``paths`` lists snapshots in COMMIT ORDER with the just-written
+        delta LAST, and ``delta_rows`` records that last snapshot's own
+        row count (``rows`` stays cumulative)."""
         parent = self.latest(stage)
         if parent is None:
-            return self.commit(stage, delta, counters)
+            m = self.commit(stage, delta, counters, extra)
+            if "delta_rows" not in m:
+                m = dict(m, delta_rows=m["rows"])
+                self._publish(stage, m)
+            return m
         m = self._write_snapshot(stage, delta, counters)
+        parent_paths = parent.get("paths", [parent["path"]])
         m = dict(
             m,
-            paths=parent.get("paths", [parent["path"]]) + [m["path"]],
+            paths=parent_paths + [m["path"]],
             rows=parent["rows"] + m["rows"],
             bytes=parent["bytes"] + m["bytes"],
+            delta_rows=m["rows"],
             parent_snapshot=parent["snapshot"],
+        )
+        if extra:
+            m = dict(m, **extra)
+        assert m["paths"][-1] == m["path"] and m["paths"][:-1] == parent_paths, (
+            "append manifest must list snapshot paths in commit order "
+            "with the in-flight delta last"
         )
         self._publish(stage, m)
         return m

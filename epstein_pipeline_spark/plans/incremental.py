@@ -79,20 +79,25 @@ def _delta_signatures(spark, docs_delta: DataFrame, cfg: DedupConfig) -> DataFra
 def _touched_bucket_pairs(
     bands_old: DataFrame, bands_delta: DataFrame, key_cols: list[str],
     member_cols: list[str], cap: int,
+    bc=F.broadcast,
 ) -> DataFrame:
     """Guarded bucket pair expansion restricted to buckets a delta row
     touches, emitting only pairs with >= 1 new side.
 
-    The committed corpus' band rows are cut down FIRST by a broadcast
-    semi-join on the delta's bucket keys — the only full pass over old
-    data is the narrow band projection feeding that semi-join. Within
-    a bucket the usual chain+star guard applies; filtering to
+    The committed corpus' band rows are cut down FIRST by a semi-join
+    on the delta's bucket keys — the only full pass over old data is
+    the narrow band projection feeding that semi-join. ``bc`` wraps
+    the delta-derived key set: ``F.broadcast`` for daily-increment
+    deltas (no corpus shuffle at all), identity for backfill-sized
+    deltas past ``ingest_broadcast_max_rows`` (a shuffled semi-join —
+    one corpus exchange beats an over-limit broadcast). Within a
+    bucket the usual chain+star guard applies; filtering to
     new-touching pairs preserves every new member's connectivity (its
     chain/star edges all touch it), and old-old connectivity is
     already represented by the committed labels.
     """
     delta_keys = bands_delta.select(*key_cols).distinct()
-    old_touched = bands_old.join(F.broadcast(delta_keys), key_cols, "left_semi")
+    old_touched = bands_old.join(bc(delta_keys), key_cols, "left_semi")
     members = old_touched.withColumn("is_new", F.lit(False)).unionByName(
         bands_delta.withColumn("is_new", F.lit(True))
     )
@@ -138,11 +143,13 @@ def run_incremental(
     # clusters commit leaves docs present but clusters stale — the
     # anti-join alone would then see "nothing new" and skip the redo.
     # Freshness rule: a downstream stage is DONE for this delta iff
-    # its manifest committed at/after the delta's extract manifest; on
-    # rerun with an empty anti-join but stale clusters, the last
-    # extract snapshot IS the in-flight delta and the redo resumes
-    # from it, reusing every stage a crashed run already appended
-    # (the labels/clusters recompute is idempotent).
+    # its manifest records this delta's extract SNAPSHOT ID
+    # (``for_extract_snapshot`` — an id compare, immune to wall-clock
+    # steps between process restarts that a committed_at timestamp
+    # compare was not); on rerun with an empty anti-join but stale
+    # clusters, the last extract snapshot IS the in-flight delta and
+    # the redo resumes from it, reusing every stage a crashed run
+    # already appended (the labels/clusters recompute is idempotent).
     delta_pages = resume_filter(new_pages, old_docs, "url")
     if use_extracted:
         docs_delta = extract_stage(delta_pages)
@@ -158,15 +165,15 @@ def run_incremental(
             normalize_text_expr("text").alias("text"),
         ).withColumn("content_hash", content_hash_expr("text"))
 
-    def _fresh(stage: str, ref_ts: float) -> bool:
+    def _fresh(stage: str, ref_snap: int) -> bool:
         m = store.latest(stage)
-        return m is not None and m["committed_at"] >= ref_ts
+        return m is not None and m.get("for_extract_snapshot") == ref_snap
 
     prior_ex = store.latest("extract")
     if docs_delta.isEmpty():
         # "clusters" commits LAST — it being fresh means the whole
         # ingest completed (labels alone fresh still needs a redo)
-        if _fresh("clusters", prior_ex["committed_at"]):
+        if _fresh("clusters", prior_ex["snapshot"]):
             return PipelineResult(  # fully ingested: nothing to do
                 clusters=store.read(spark, "clusters"),
                 labels=old_labels,
@@ -181,7 +188,7 @@ def run_incremental(
         parent_paths = m_ex.get("paths", [m_ex["path"]])[:-1]
         old_docs = spark.read.parquet(*parent_paths) if parent_paths else old_docs.limit(0)
     else:
-        if not _fresh("clusters", prior_ex["committed_at"]):
+        if not _fresh("clusters", prior_ex["snapshot"]):
             # a PREVIOUS ingest never completed; its docs are already
             # in the committed extract, so this run's anti-join would
             # silently drop them from the redo forever. Complete the
@@ -195,20 +202,36 @@ def run_incremental(
             )
             old_labels = store.read(spark, "labels")
         m_ex = timed("extract", lambda: store.append("extract", docs_delta))
-    ref_ts = m_ex["committed_at"]
+    ref_snap = m_ex["snapshot"]
+    stamp = {"for_extract_snapshot": ref_snap}
     docs_all = store.read(spark, "extract")
     docs_delta = spark.read.parquet(m_ex["path"])  # just the committed delta
 
+    # BROADCAST GATE: every delta-derived key set below (band keys,
+    # content hashes, touched urls / cluster ids / relabel map) is
+    # O(delta) rows — broadcasting them is what makes a daily-increment
+    # ingest shuffle-free, but a backfill-sized delta (a quarter of the
+    # corpus re-crawled) would blow past the 8 GB broadcast hard limit
+    # and driver memory on exactly the run a user reaches for `ingest`.
+    # The committed delta manifest's own row count decides (free — no
+    # extra job): past cfg.ingest_broadcast_max_rows the same joins run
+    # shuffled. The affected-cluster sets are O(delta)-ish, not bounded
+    # by it (a small delta CAN touch a mega-cluster); the gate is
+    # deliberately conservative there — they inherit the delta flag.
+    small_delta = m_ex.get("delta_rows", m_ex["rows"]) <= cfg.ingest_broadcast_max_rows
+    bc = F.broadcast if small_delta else (lambda df: df)
+
     def appended(stage: str, build) -> DataFrame:
         """Append `build()` as this delta's snapshot of `stage`, or
-        reuse the snapshot a crashed run already committed."""
+        reuse the snapshot a crashed run already committed (id match
+        on the delta's extract snapshot — the freshness rule)."""
         m = store.latest(stage)
-        if m is not None and m["committed_at"] >= ref_ts:
+        if m is not None and m.get("for_extract_snapshot") == ref_snap:
             timings[stage] = 0.0
             return spark.read.parquet(m["path"])
         df = build()
         t0 = time.time()
-        m = store.append(stage, df)
+        m = store.append(stage, df, extra=stamp)
         timings[stage] = time.time() - t0
         return spark.read.parquet(m["path"])
 
@@ -236,7 +259,7 @@ def run_incremental(
         # band-key semi-join in _touched_bucket_pairs
         delta_hashes = docs_delta.select("content_hash").distinct()
         old_anchor = (
-            old_docs.join(F.broadcast(delta_hashes), "content_hash", "left_semi")
+            old_docs.join(bc(delta_hashes), "content_hash", "left_semi")
             .groupBy("content_hash")
             .agg(F.min("url").alias("_a"))
         )
@@ -262,7 +285,7 @@ def run_incremental(
     def build_candidates() -> DataFrame:
         pairs = _touched_bucket_pairs(
             band_rows(mh_old, cfg), band_rows(mh_delta, cfg),
-            ["band_i", "band_hash"], ["url"], cfg.band_bucket_cap,
+            ["band_i", "band_hash"], ["url"], cfg.band_bucket_cap, bc=bc,
         ).select(
             F.col("p.a.url").alias("url1"), F.col("p.b.url").alias("url2")
         ).dropDuplicates(["url1", "url2"])
@@ -303,6 +326,7 @@ def run_incremental(
         pairs = _touched_bucket_pairs(
             sh_bands(old_sigs), sh_bands(sigs_delta),
             ["band_i", "band_val"], ["url", "simhash"], cfg.band_bucket_cap,
+            bc=bc,
         )
         d = hamming_distance_expr(F.col("p.a.simhash"), F.col("p.b.simhash"))
         return (
@@ -348,7 +372,7 @@ def run_incremental(
         .unionByName(pairs_delta.select(F.col("url2").alias("url")))
         .distinct()
     )
-    touched = old_labels.join(F.broadcast(edge_urls), "url", "left_semi")
+    touched = old_labels.join(bc(edge_urls), "url", "left_semi")
     # seed edge (member -> its old cluster_id): label space == node
     # space because cluster_id is the component's min url, so CC over
     # new edges + seeds reconnects every affected old cluster — and
@@ -369,21 +393,21 @@ def run_incremental(
         F.col("url").alias("cluster_id"), F.col("cluster_id").alias("_new")
     )
     relabeled = old_labels.join(
-        F.broadcast(affected_old_ids), "cluster_id", "left_semi"
-    ).join(F.broadcast(id_map), "cluster_id").select(
+        bc(affected_old_ids), "cluster_id", "left_semi"
+    ).join(bc(id_map), "cluster_id").select(
         "url", F.col("_new").alias("cluster_id")
     )
     untouched = old_labels.join(
-        F.broadcast(affected_old_ids), "cluster_id", "left_anti"
+        bc(affected_old_ids), "cluster_id", "left_anti"
     ).select("url", "cluster_id")
     # nodes of `partial` that are not in old_labels are exactly the
     # delta urls — select them directly instead of an O(corpus)
     # anti-join against the labels table
-    fresh = partial.join(F.broadcast(docs_delta.select("url")), "url", "left_semi")
+    fresh = partial.join(bc(docs_delta.select("url")), "url", "left_semi")
     labels = untouched.unionByName(relabeled).unionByName(fresh).dropDuplicates(["url"])
     timings["labels"] = time.time() - t0
     t0 = time.time()
-    store.commit("labels", labels)  # full republication (Iceberg: MERGE INTO)
+    store.commit("labels", labels, extra=stamp)  # full republication (Iceberg: MERGE INTO)
     timings["labels"] += time.time() - t0
     labels = store.read(spark, "labels")
 
@@ -392,7 +416,7 @@ def run_incremental(
     def build_clusters_inc() -> DataFrame:
         old_clusters = store.read(spark, "clusters")
         new_ids = partial.select("cluster_id").distinct()
-        sub_labels = labels.join(F.broadcast(new_ids), "cluster_id", "left_semi")
+        sub_labels = labels.join(bc(new_ids), "cluster_id", "left_semi")
         # drop stale rows by cluster id AND by member url: in crash
         # recovery after the labels commit, `old_labels` already holds
         # final ids, so a merged-AWAY old cluster's id is not in
@@ -400,10 +424,10 @@ def run_incremental(
         # (the whole affected component relabels), so the url
         # anti-join removes their stale rows regardless of old id
         keep = old_clusters.join(
-            F.broadcast(affected_old_ids), "cluster_id", "left_anti"
-        ).join(F.broadcast(sub_labels.select("url")), "url", "left_anti")
+            bc(affected_old_ids), "cluster_id", "left_anti"
+        ).join(bc(sub_labels.select("url")), "url", "left_anti")
         sub_pairs = pairs_all.join(
-            F.broadcast(sub_labels.select(F.col("url").alias("url1"))),
+            bc(sub_labels.select(F.col("url").alias("url1"))),
             "url1",
             "left_semi",
         )
@@ -411,7 +435,7 @@ def run_incremental(
         return keep.unionByName(rebuilt)
 
     clusters = build_clusters_inc()
-    timed("clusters", lambda: store.commit("clusters", clusters))
+    timed("clusters", lambda: store.commit("clusters", clusters, extra=stamp))
     clusters = store.read(spark, "clusters")
 
     return PipelineResult(

@@ -113,13 +113,20 @@ def run_dedup(
 ) -> PipelineResult:
     timings: dict[str, float] = {}
 
+    # downstream stage manifests record the extract snapshot they were
+    # computed FROM (for_extract_snapshot): the incremental plan's
+    # crash-recovery freshness rule compares these ids, not wall-clock
+    # timestamps (a backwards clock step between commits must not make
+    # a stale stage pass as fresh)
+    stamp: dict = {}
+
     def staged(name: str, build, counters: dict | None = None) -> DataFrame:
         if resume and store.has(name):
             timings[name] = 0.0
             return store.read(spark, name)
         t0 = time.time()
         df = build()
-        store.commit(name, df, counters)
+        store.commit(name, df, counters, extra=stamp or None)
         timings[name] = time.time() - t0
         return store.read(spark, name)
 
@@ -141,6 +148,8 @@ def run_dedup(
     # doc count from the committed manifest (free — no extra Spark job)
     m = store.latest("extract")
     n_docs = m["rows"] if m is not None else docs.count()
+    if m is not None:
+        stamp["for_extract_snapshot"] = m["snapshot"]
 
     # 2. exact pass (hash-group star pairs)
     p_exact = staged("pairs_exact", lambda: exact_pairs(docs), {"docs_in": n_docs})

@@ -201,7 +201,13 @@ def test_ingest_crash_recovery_resumes_and_matches_full(spark, pages, tmp_path):
     # simulate the crashed run's first two appends
     m_ex = store.append("extract", extract_stage(delta))
     committed_delta = spark.read.parquet(m_ex["path"])
-    store.append("signatures", _delta_signatures(spark, committed_delta, cfg))
+    # a real ingest stamps downstream appends with the delta's extract
+    # snapshot id — the freshness rule compares ids, not timestamps
+    store.append(
+        "signatures",
+        _delta_signatures(spark, committed_delta, cfg),
+        extra={"for_extract_snapshot": m_ex["snapshot"]},
+    )
     clusters_before = store.latest("clusters")["committed_at"]
 
     res = run_incremental(spark, delta, store, cfg)
@@ -388,3 +394,54 @@ def test_new_delta_completes_pending_crashed_ingest_first(spark, pages, tmp_path
     assert _partition(full.labels) == _partition(res.labels)
     assert store.latest("extract")["rows"] == pages.count()
     assert res.labels.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_large_delta_shuffled_path_matches_broadcast(spark, pages, tmp_path):
+    """ingest_broadcast_max_rows=0 forces every delta-derived key join
+    onto the shuffled fallback (the backfill-sized-delta path, r3
+    verdict #1): the resulting url partition must equal both the
+    broadcast-path ingest and the full run."""
+    is_delta = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    base, delta = pages.filter(~is_delta), pages.filter(is_delta)
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), DedupConfig())
+
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, DedupConfig())
+    cfg_shuffled = DedupConfig(ingest_broadcast_max_rows=0)
+    inc = run_incremental(spark, delta, store, cfg_shuffled)
+
+    assert _partition(full.labels) == _partition(inc.labels)
+    assert _cluster_partition(full.clusters) == _cluster_partition(inc.clusters)
+
+
+def test_freshness_rule_survives_backwards_clock_step(spark, pages, tmp_path):
+    """A wall-clock step backwards between ingests must not let a
+    PREVIOUS delta's stage snapshots pass as fresh for a new delta
+    (r3 advice: compare extract snapshot ids, not committed_at).
+    Simulated by pushing every committed manifest's committed_at far
+    into the future before the second ingest."""
+    import json
+    from pathlib import Path
+
+    h = F.pmod(F.xxhash64("url"), F.lit(4))
+    base, d1, d2 = pages.filter(h > 1), pages.filter(h == 1), pages.filter(h == 0)
+    full = run_dedup(spark, pages, StageStore(tmp_path / "full"), DedupConfig())
+
+    store = StageStore(tmp_path / "inc")
+    run_dedup(spark, base, store, DedupConfig())
+    run_incremental(spark, d1, store, DedupConfig())
+
+    # the clock now "steps back": every existing commit appears to be
+    # from the future relative to the next run's timestamps
+    for mf in Path(tmp_path / "inc").glob("*/MANIFEST.json"):
+        m = json.loads(mf.read_text())
+        m["committed_at"] = m["committed_at"] + 10_000_000.0
+        mf.write_text(json.dumps(m))
+
+    inc = run_incremental(spark, d2, store, DedupConfig())
+    # the d2 stages must have actually run (a timestamp-based rule
+    # would have reused d1's snapshots and silently dropped d2's work)
+    assert inc.stage_seconds["signatures"] > 0.0
+    assert inc.stage_seconds["minhash_candidates"] > 0.0
+    assert _partition(full.labels) == _partition(inc.labels)
+    assert _cluster_partition(full.clusters) == _cluster_partition(inc.clusters)

@@ -167,6 +167,29 @@ def test_incremental_candidates_semi_join_is_broadcast(spark):
     assert all("SortMergeJoin" not in l for l in semi_lines), semi_lines
 
 
+def test_incremental_candidates_large_delta_falls_back_to_shuffle(spark):
+    """With the broadcast gate OFF (backfill-sized delta), the same
+    semi-join plans WITHOUT a broadcast hint — the shuffled fallback
+    that stays under the 8 GB broadcast limit at any delta size."""
+    from epstein_pipeline_spark.operators.lsh import band_rows
+    from epstein_pipeline_spark.plans.incremental import _touched_bucket_pairs
+
+    cfg = DedupConfig()
+    old = spark.createDataFrame(
+        [(f"u{i}", [i] * cfg.num_perm) for i in range(50)], "url string, sig array<long>"
+    )
+    delta = spark.createDataFrame(
+        [(f"d{i}", [i] * cfg.num_perm) for i in range(5)], "url string, sig array<long>"
+    )
+    pairs = _touched_bucket_pairs(
+        band_rows(old, cfg), band_rows(delta, cfg),
+        ["band_i", "band_hash"], ["url"], cfg.band_bucket_cap,
+        bc=lambda df: df,
+    )
+    logical = pairs._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical  # no broadcast pinned anywhere
+
+
 def test_incremental_exact_anchor_is_delta_restricted(spark, pages, tmp_path):
     """build_exact's anchor: old docs pass through a broadcast semi
     join on the delta's content hashes BEFORE the groupBy — the
