@@ -1139,8 +1139,11 @@ _ER_LASTS = ["smith", "johnson", "williams", "brown", "jones", "garcia",
 
 def _er_persons(spark, sf):
     """Deterministic person records from customer keys + planted typo
-    variants (custkey % 20 == 0 gets a pid+1000000 twin whose last name
-    drops its final letter)."""
+    variants (custkey % 20 == 0 gets a pid+1000000 twin whose FIRST
+    name drops its final letter — the last name stays intact so the
+    twin is reachable through the reference's last_name blocking rule;
+    a last-name typo would never be a candidate under name_lower /
+    last_name blocks, exactly as in the reference)."""
     c = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("pid"), F.lower(F.col("c_mktsegment")).alias("category")
     )
@@ -1151,8 +1154,8 @@ def _er_persons(spark, sf):
     )
     variant = base.filter(F.col("pid") % 20 == 0).select(
         (F.col("pid") + 1_000_000).alias("pid"),
-        "first_name",
-        F.col("last_name").substr(F.lit(1), F.length("last_name") - 1).alias("last_name"),
+        F.col("first_name").substr(F.lit(1), F.length("first_name") - 1).alias("first_name"),
+        "last_name",
         "category",
     )
     p = base.unionByName(variant)
@@ -1206,8 +1209,8 @@ WITH base AS (
 ), persons0 AS (
   SELECT pid, first_name, last_name, category FROM base
   UNION ALL
-  SELECT pid + 1000000, first_name,
-         substr(last_name, 1, length(last_name) - 1), category
+  SELECT pid + 1000000,
+         substr(first_name, 1, length(first_name) - 1), last_name, category
   FROM base WHERE pid % 20 = 0
 ), p AS (
   SELECT pid, first_name || ' ' || last_name AS name, first_name, last_name,
@@ -1215,7 +1218,7 @@ WITH base AS (
   FROM persons0
 ), blocked AS (
   SELECT a.pid AS pid1, b.pid AS pid2, {score} AS s
-  FROM p a JOIN p b ON a.first_name = b.first_name AND a.pid < b.pid
+  FROM p a JOIN p b ON a.name = b.name AND a.pid < b.pid
   UNION
   SELECT a.pid AS pid1, b.pid AS pid2, {score} AS s
   FROM p a JOIN p b ON a.last_name = b.last_name AND a.pid < b.pid
@@ -1273,8 +1276,8 @@ WITH base AS (
 ), persons0 AS (
   SELECT pid, first_name, last_name, category FROM base
   UNION ALL
-  SELECT pid + 1000000, first_name,
-         substr(last_name, 1, length(last_name) - 1), category
+  SELECT pid + 1000000,
+         substr(first_name, 1, length(first_name) - 1), last_name, category
   FROM base WHERE pid % 20 = 0
 ), p AS (
   SELECT pid, first_name || ' ' || last_name AS name, first_name, last_name,
@@ -1283,7 +1286,7 @@ WITH base AS (
 ), gam AS (
   SELECT {gamma_select}
   FROM p a JOIN p b
-    ON (a.first_name = b.first_name OR a.last_name = b.last_name)
+    ON (a.name = b.name OR a.last_name = b.last_name)
    AND a.pid < b.pid
 )
 SELECT g_name, g_first_name, g_last_name, g_aliases, g_category,

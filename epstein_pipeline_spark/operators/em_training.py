@@ -303,22 +303,30 @@ def train_resolution_weights(
     lam0 = estimate_prior(persons, id_col, recall)
     u = estimate_u(persons, id_col, max_pairs=max_u_pairs, seed=seed)
 
-    # ONE EM SESSION PER BLOCKING RULE, with the blocked column's own
-    # comparison EXCLUDED — Splink's rule, and why the reference calls
-    # estimate_parameters_using_expectation_maximisation once per
-    # block_on (entity_resolution.py:214-229). Pairs drawn from a
-    # blocking rule are bimodal BY CONSTRUCTION along that rule's
-    # column; mixing rules lets EM latch onto the blocking structure
-    # instead of match/non-match (observed: lam converges to the
-    # blocked-rule mix fraction). Parameters estimated by both
-    # sessions (aliases, name, category) are averaged, Splink-style.
+    # ONE EM SESSION PER BLOCKING RULE — the reference's two sessions,
+    # block_on("name_lower") then block_on("last_name")
+    # (entity_resolution.py:214-229; persons are pre-lowercased here so
+    # ``name`` IS name_lower). Exclusion follows Splink's actual rule:
+    # a comparison is dropped from a session only when its COLUMN is
+    # the session's blocking column (constant by construction — Splink
+    # flags it untrainable). The name_lower session therefore trains
+    # ALL FIVE comparisons — name_lower is a blocking-only column, not
+    # a comparison column — and the name comparison comes out
+    # concentrated on exact agreement there (every blocked pair is
+    # name-equal), which is precisely Splink's estimate from that
+    # session; averaging it with the last_name session's estimate is
+    # what keeps exact-name agreement a strong signal. Mixing the two
+    # rules' pairs in ONE session is still avoided: EM then latches
+    # onto the blocking structure (observed: lam converges to the
+    # blocked-rule mix fraction). Per-comparison estimates from both
+    # sessions are averaged, Splink-style.
     cols = [id_col, *_PERSON_COLS]
     p = persons.select(*cols)
     m_acc: dict[str, list[np.ndarray]] = {}
     lam_acc: list[float] = []
     iters = 0
-    for block_col in ("first_name", "last_name"):
-        sess_cmp = {c: v for c, v in FS_COMPARISONS.items() if c != block_col}
+    for block_col, excluded in (("name", ()), ("last_name", ("last_name",))):
+        sess_cmp = {c: v for c, v in FS_COMPARISONS.items() if c not in excluded}
         pairs = guarded_block_pairs(p, block_col, cols, block_cap).select(
             *[F.col(f"a.{c}").alias(f"{c}1") for c in cols],
             *[F.col(f"b.{c}").alias(f"{c}2") for c in cols],

@@ -165,9 +165,14 @@ def blocked_person_pairs(
     """Blocked candidate pairs for entity resolution.
 
     Blocking (reference blocking_rules, entity_resolution.py:189-192):
-    equal first_name OR equal last_name; union deduplicated on the id
-    pair. Blocks run through ``guarded_block_pairs`` — a hot block (a
-    common first name at web scale) emits O(n) chain+star pairs
+    ``block_on("name_lower") OR block_on("last_name")``, union
+    deduplicated on the id pair. Persons enter this engine already
+    lowercased, so ``name`` IS the reference's ``name_lower`` column.
+    (Note the reference-faithful consequence: a last-name typo is only
+    a candidate if the FULL name matches — i.e. never — exactly as in
+    the reference; the oracle's planted twins therefore vary the first
+    name.) Blocks run through ``guarded_block_pairs`` — a hot block (a
+    common last name at web scale) emits O(n) chain+star pairs
     instead of a quadratic task, the reference's splink_max_pairs
     memory guard (config.py:130) restated. Returns one row per pair
     with every payload column duplicated as ``<col>1`` / ``<col>2``.
@@ -175,7 +180,7 @@ def blocked_person_pairs(
     cols = [id_col, "name", "first_name", "last_name", "aliases", "category"]
     p = persons.select(*cols)
     return (
-        guarded_block_pairs(p, "first_name", cols, block_cap)
+        guarded_block_pairs(p, "name", cols, block_cap)
         .unionByName(guarded_block_pairs(p, "last_name", cols, block_cap))
         .select(
             *[F.col(f"a.{c}").alias(f"{c}1") for c in cols],

@@ -25,7 +25,13 @@ from epstein_pipeline_spark.operators.resolution import (
     resolve_persons,
 )
 
-_FIRSTS = ["maria", "james", "lena", "viktor", "amara", "sofia", "ethan", "yuki",
+# all first names >= 5 chars: a drop-last-letter typo then stays in the
+# top JaroWinkler tier (>= 0.95) for both first_name and the full name;
+# a 4-char name ("lena" -> "len", jw 0.94) lands in tier 1, where the
+# EM-trained model is legitimately more conservative than the fixed
+# table and the planted-recovery contract would test tier calibration,
+# not the training sequence
+_FIRSTS = ["maria", "james", "leona", "viktor", "amara", "sofia", "ethan", "yuki",
            "nadia", "oscar", "priya", "tomas", "wendy", "ibrahim", "greta", "felix"]
 _LASTS = ["okafor", "lindqvist", "tanaka", "moreau", "dasilva", "novak", "petrov",
           "khanna", "whitfield", "osei", "bergman", "castillo", "duval", "eriksen",
@@ -38,7 +44,9 @@ def _persons(spark, n=240, twin_every=6, copy_every=10):
     identities. Planted truth: every ``twin_every``-th pid gets a typo
     twin (+1M, last letter of the last name dropped) and every
     ``copy_every``-th an exact copy (+2M). Identity of any record is
-    ``pid % 1_000_000``."""
+    ``pid % 1_000_000``. Twins vary the FIRST name so they block via
+    the reference's last_name rule (a last-name typo never blocks
+    under name_lower/last_name — reference-faithful)."""
     rows = []
     for pid in range(n):
         fn = _FIRSTS[pid % 16]
@@ -47,7 +55,7 @@ def _persons(spark, n=240, twin_every=6, copy_every=10):
         rows.append((pid, f"{fn} {ln}", fn, ln, f"{fn[0]}. {ln}", cat))
         if pid % twin_every == 0:
             rows.append(
-                (pid + 1_000_000, f"{fn} {ln[:-1]}", fn, ln[:-1], f"{fn[0]}. {ln[:-1]}", cat)
+                (pid + 1_000_000, f"{fn[:-1]} {ln}", fn[:-1], ln, f"{fn[0]}. {ln}", cat)
             )
         if pid % copy_every == 0:
             rows.append((pid + 2_000_000, f"{fn} {ln}", fn, ln, f"{fn[0]}. {ln}", cat))

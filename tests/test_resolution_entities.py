@@ -93,12 +93,15 @@ def test_jaro_winkler_matches_duckdb():
 @pytest.fixture(scope="module")
 def persons(spark):
     rows = [
-        # planted alias cluster: typo + initials variant of the same person
+        # planted alias cluster: first-name typos of the same person —
+        # reference blocking is name_lower/last_name (entity_resolution
+        # .py:189-192), so the shared last name is what makes the typo
+        # variants candidates (a last-name typo would never block)
         (1, "jeffrey edwards", "jeffrey", "edwards", "j. edwards", "legal"),
-        (2, "jeffrey edwards", "jeffrey", "edward", "j. edward", "legal"),
+        (2, "jeffery edwards", "jeffery", "edwards", "j. edwards", "legal"),
         (3, "jefrey edwards", "jefrey", "edwards", "j. edwards", "legal"),
-        # distinct person sharing the first-name block
-        (4, "jeffrey stone", "jeffrey", "stone", "j. stone", "media"),
+        # distinct person sharing the last-name block
+        (4, "martin edwards", "martin", "edwards", "m. edwards", "media"),
         # unrelated
         (5, "maria gonzalez", "maria", "gonzalez", "m. gonzalez", "legal"),
     ]
@@ -111,7 +114,7 @@ def test_fs_scoring_planted_aliases(spark, persons):
     pairs = {(r["pid1"], r["pid2"]): r["match_probability"] for r in score_person_pairs(persons).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.85
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.85
-    assert (1, 4) not in pairs  # same first name, different person
+    assert (1, 4) not in pairs  # same last name, different person
     assert not any(5 in p for p in pairs)
 
 
