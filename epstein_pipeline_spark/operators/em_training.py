@@ -115,6 +115,7 @@ def estimate_u(
     comparisons: dict[str, tuple[list[float], list[float]]] | None = None,
     max_pairs: int = DEFAULT_MAX_U_PAIRS,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> dict[str, np.ndarray]:
     """u probabilities from random pairs (Splink
     ``estimate_u_using_random_sampling``, entity_resolution.py:209-211):
@@ -127,9 +128,15 @@ def estimate_u(
     matter the corpus size, and the sample itself is one narrow pass.
     Laplace-smoothed so no level has u=0 (a zero u would make one
     agreement level an infinite-weight oracle).
+
+    ``n_rows`` lets a caller that already knows the table size (e.g.
+    from a committed stage manifest) skip the count pass. The
+    ``orderBy(_h).limit(s)`` below is NOT a corpus sort: the hash
+    filter has already cut the input to ~1.25*s candidate rows, so the
+    sort is bounded by the sample size at any corpus scale.
     """
     comparisons = FS_COMPARISONS if comparisons is None else comparisons
-    n = persons.count()
+    n = persons.count() if n_rows is None else n_rows
     s = min(n, max(2, math.isqrt(2 * max_pairs) + 1))
     cols = [id_col, *_PERSON_COLS]
     # hash-ranked sampling (not sample().limit()): membership depends
@@ -179,6 +186,7 @@ def estimate_prior(
     persons: DataFrame,
     id_col: str = "pid",
     recall: float = PRIOR_BLOCKING_RECALL,
+    n_rows: int | None = None,
 ) -> float:
     """lambda = P(random pair matches), from the exact-name blocking
     rule at an assumed recall (Splink
@@ -187,8 +195,9 @@ def estimate_prior(
     pairs agreeing on the full name are assumed matches and assumed to
     cover ``recall`` of all matches. Two tiny aggregates; no pair
     materialization (C(n,2) per name group is computed arithmetically).
+    ``n_rows`` skips the count when the caller already knows it.
     """
-    n = persons.count()
+    n = persons.count() if n_rows is None else n_rows
     if n < 2:
         return 1e-7
     bp = (
@@ -289,9 +298,13 @@ def train_resolution_weights(
     recall: float = PRIOR_BLOCKING_RECALL,
     seed: int = 42,
     weight_clip: float = 12.0,
+    n_rows: int | None = None,
 ) -> TrainedWeights:
     """The reference's full training sequence
-    (entity_resolution.py:199-233), Spark-first.
+    (entity_resolution.py:199-233), Spark-first. ``n_rows``: pass the
+    persons row count if already known (a committed stage manifest) to
+    skip the one count pass; otherwise it is computed once and shared
+    by the prior and u estimators.
 
     Tier weights come out as log2 Bayes factors ``log2(m_k/u_k)``
     (clipped to ±``weight_clip`` — a level never seen among matches
@@ -300,8 +313,12 @@ def train_resolution_weights(
     """
     from epstein_pipeline_spark.operators.pairs import guarded_block_pairs
 
-    lam0 = estimate_prior(persons, id_col, recall)
-    u = estimate_u(persons, id_col, max_pairs=max_u_pairs, seed=seed)
+    # one count shared by prior + u estimation (or none at all when
+    # the caller passes the committed-stage manifest's row count)
+    if n_rows is None:
+        n_rows = persons.count()
+    lam0 = estimate_prior(persons, id_col, recall, n_rows=n_rows)
+    u = estimate_u(persons, id_col, max_pairs=max_u_pairs, seed=seed, n_rows=n_rows)
 
     # ONE EM SESSION PER BLOCKING RULE — the reference's two sessions,
     # block_on("name_lower") then block_on("last_name")
