@@ -2,12 +2,18 @@
 metadata — the Spark-side plumbing for a training-data pipeline.
 
 Decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
-operators with real schemas, partitioning, and batch shapes; the
-actual codec step is STUBBED (image/audio libraries are not in this
-container): ``decode_stub='deterministic'`` produces a seeded fake
-feature vector from the bytes' sha256 so the full distributed path is
-testable end-to-end; ``decode_stub='raise'`` marks where a real codec
-(PIL/ffmpeg) plugs in.
+operators with real schemas, partitioning, and batch shapes. Codec
+modes (``decode_stub``):
+
+- ``'deterministic'`` — seeded fake feature from the bytes' sha256,
+  so the full distributed path is testable for ANY media kind;
+- ``'decode'`` — REAL decode for image rows via the dependency-free
+  BMP/PPM codec (``functions/imagecodec.py``): actual pixels ->
+  feature stats / nearest-neighbor resize. Audio/video kinds keep the
+  deterministic stub (no ffmpeg in this container); an image in an
+  undecodable format raises ``UnsupportedImageError`` — the exact
+  plug point for PIL;
+- ``'raise'`` — surface the missing-codec error unconditionally.
 """
 
 from __future__ import annotations
@@ -19,6 +25,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from epstein_pipeline_spark.functions.imagecodec import (
+    decode_image,
+    encode_bmp,
+    image_feature,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, content binary, mime string, "
@@ -52,9 +65,18 @@ def extract_features(
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg — not in this container"
                 )
-            feats = [
-                _fake_feature(bytes(c) if c is not None else b"", dim) for c in pdf["content"]
-            ]
+            if decode_stub == "decode":
+                feats = [
+                    image_feature(decode_image(bytes(c or b"")), dim)
+                    if k == "image"
+                    else _fake_feature(bytes(c) if c is not None else b"", dim)
+                    for c, k in zip(pdf["content"], pdf["kind"])
+                ]
+            else:
+                feats = [
+                    _fake_feature(bytes(c) if c is not None else b"", dim)
+                    for c in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -113,6 +135,22 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_bmp_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-image media table: each row is a valid
+    24-bit BMP (solid color with one gradient stripe) whose pixel
+    content is a pure function of the row index — so decoded feature
+    stats and resized outputs are checkable against planted values."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.randint(5, 40)), int(rng.randint(5, 40))
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        rgb[:, :] = [(i * 37) % 256, (i * 91) % 256, (i * 53) % 256]
+        rgb[:, 0, 0] = np.linspace(0, 255, h).astype(np.uint8)  # stripe
+        rows.append((f"bmp{i:04d}", "image", encode_bmp(rgb), "image/bmp", w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, decode_stub: str = "deterministic"
 ) -> DataFrame:
@@ -120,10 +158,11 @@ def resize_images(
 
     The Spark-side contract is real — kind filter, metadata columns,
     Arrow batching, bounded output size (the resized payload is
-    width*height bytes, never the original) — while the decode/resample
-    kernel is stubbed deterministically (sha256-seeded byte tile; the
-    PIL plug point is the inner function). ``decode_stub='raise'``
-    surfaces the missing-codec error instead."""
+    width*height bytes stubbed / width*height*3 RGB decoded, never the
+    original). ``decode_stub='decode'`` runs a REAL nearest-neighbor
+    resample over BMP/PPM-decoded pixels (imagecodec.py);
+    ``'deterministic'`` keeps the sha256-seeded byte tile;
+    ``'raise'`` surfaces the missing-codec error instead."""
 
     def _fake_resize(content: bytes) -> bytes:
         seed = hashlib.sha256(content).digest()
@@ -136,9 +175,18 @@ def resize_images(
                 raise NotImplementedError(
                     "real image resize requires PIL — not in this container"
                 )
-            resized = [
-                _fake_resize(bytes(c) if c is not None else b"") for c in pdf["content"]
-            ]
+            if decode_stub == "decode":
+                resized = [
+                    resize_nearest(
+                        decode_image(bytes(c or b"")), width, height
+                    ).tobytes()
+                    for c in pdf["content"]
+                ]
+            else:
+                resized = [
+                    _fake_resize(bytes(c) if c is not None else b"")
+                    for c in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

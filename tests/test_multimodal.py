@@ -63,3 +63,87 @@ def test_resize_plumbing(spark):
     assert {(r["media_id"], bytes(r["resized"])) for r in out} == {
         (r["media_id"], bytes(r["resized"])) for r in again
     }
+
+
+# ---------------------------------------------------------------------------
+# Real decode path (dependency-free BMP/PPM codec, r3 verdict missing #2)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_strides_and_orders():
+    """encode->decode is the identity across widths 1..6 (every 4-byte
+    row-padding residue) and for a top-down (negative height) BMP."""
+    import struct
+
+    from epstein_pipeline_spark.functions.imagecodec import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for w in range(1, 7):
+        rgb = rng.randint(0, 256, (5, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(rgb)) == rgb).all(), w
+    # top-down variant: flip rows, negate the height field in place
+    rgb = rng.randint(0, 256, (4, 3, 3)).astype(np.uint8)
+    buf = bytearray(encode_bmp(rgb[::-1]))
+    struct.pack_into("<i", buf, 14 + 8, -4)
+    assert (decode_bmp(bytes(buf)) == rgb[::-1][::-1]).all()
+
+
+def test_ppm_decode_known_pixels():
+    from epstein_pipeline_spark.functions.imagecodec import decode_ppm
+
+    body = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    ppm = b"P6\n# comment\n2 2\n255\n" + body
+    px = decode_ppm(ppm)
+    assert px.shape == (2, 2, 3)
+    assert (px.reshape(-1) == np.frombuffer(body, np.uint8)).all()
+
+
+def test_real_decode_feature_matches_planted_color(spark):
+    """extract_features(decode_stub='decode') over real BMPs: the first
+    three feature dims are the (unit-norm scaled) planted channel
+    means — real pixels, not hash noise."""
+    from epstein_pipeline_spark.functions.imagecodec import decode_bmp, image_feature
+    from epstein_pipeline_spark.operators.multimodal import synth_bmp_media
+
+    media = synth_bmp_media(spark, n=8)
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in extract_features(media, dim=19, decode_stub="decode").collect()}
+    assert len(got) == 8
+    for r in media.collect():
+        want = image_feature(decode_bmp(bytes(r["content"])), 19)
+        assert np.allclose(got[r["media_id"]], want, atol=1e-6)
+    # non-degenerate: two different colors give different features
+    ids = sorted(got)
+    assert not np.allclose(got[ids[0]], got[ids[1]])
+
+
+def test_real_resize_nearest_planted(spark):
+    """resize_images(decode_stub='decode'): a 2-color 2x2 BMP resized
+    to 4x4 nearest-neighbor produces the exact expected RGB bytes."""
+    from epstein_pipeline_spark.functions.imagecodec import encode_bmp
+    from epstein_pipeline_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8
+    )
+    media = spark.createDataFrame(
+        [("im0", "image", encode_bmp(rgb), "image/bmp", 2, 2, None)], MEDIA_SCHEMA
+    )
+    out = resize_images(media, width=4, height=4, decode_stub="decode").collect()
+    assert len(out) == 1 and out[0]["width"] == 4
+    got = np.frombuffer(bytes(out[0]["resized"]), np.uint8).reshape(4, 4, 3)
+    want = rgb[[0, 0, 1, 1]][:, [0, 0, 1, 1]]
+    assert (got == want).all()
+
+
+def test_undecodable_image_raises_at_the_plug_point(spark):
+    """A PNG-mimed image under decode mode surfaces
+    UnsupportedImageError — the documented PIL plug point — instead of
+    silently falling back to the stub."""
+    from epstein_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [("x", "image", b"\x89PNG\r\n\x1a\n....", "image/png", 4, 4, None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="BMP|PPM|PIL|Unsupported"):
+        extract_features(media, dim=8, decode_stub="decode").collect()
