@@ -202,6 +202,25 @@ class StageStore:
             return m or {}
         return self.commit(stage, self.read(spark, stage), m.get("counters"))
 
+    def expire_snapshots(self, stage: str) -> list[str]:
+        """Delete snapshot directories no longer referenced by the
+        CURRENT manifest — Iceberg's ``expire_snapshots`` maintenance
+        action. ``compact`` deliberately leaves the old append-chain
+        dirs on disk for readers holding earlier manifests (snapshots
+        are immutable); expiry is the owner's explicit policy call,
+        made when no reader can still hold an old manifest. Returns
+        the removed paths."""
+        import shutil
+
+        m = self.latest(stage)
+        keep = {Path(p) for p in m.get("paths", [m["path"]])} if m else set()
+        removed: list[str] = []
+        for p in sorted(self._stage_dir(stage).glob("snapshot-*")):
+            if p.is_dir() and p not in keep:
+                shutil.rmtree(p)
+                removed.append(str(p))
+        return removed
+
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.latest(stage)
         if m is None:

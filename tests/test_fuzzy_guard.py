@@ -212,11 +212,13 @@ def test_floored_jw_udf_tier_outcomes_match_exact(spark):
 
 
 def test_resolution_hot_block_guarded(spark):
-    """A hot first-name block (10x cap) through score_person_pairs:
-    the blocked comparison volume stays O(n)."""
+    """A hot last-name block (10x cap) through score_person_pairs —
+    the reference blocks on name_lower/last_name, so the common
+    surname is the web-scale hot key — the blocked comparison volume
+    stays O(n)."""
     cap, n = 10, 100
     rows = [
-        (i, f"john v{i:03d}", "john", f"l{i:03d}", f"alias {i}", "legal")
+        (i, f"v{i:03d} smith", f"v{i:03d}", "smith", f"alias {i}", "legal")
         for i in range(n)
     ]
     persons = spark.createDataFrame(

@@ -182,6 +182,22 @@ def test_compact_collapses_append_chain(spark, tmp_path):
     assert store.latest("t")["snapshot"] == snap
 
 
+def test_expire_snapshots_keeps_only_referenced(spark, tmp_path):
+    """Iceberg expire_snapshots analog: after compact, only the
+    compacted snapshot's dir survives expiry, reads still work, and a
+    chained (un-compacted) manifest keeps its whole chain."""
+    store = StageStore(tmp_path / "s")
+    store.commit("t", spark.createDataFrame([("a", 1)], "url string, v int"))
+    store.append("t", spark.createDataFrame([("b", 2)], "url string, v int"))
+    assert store.expire_snapshots("t") == []  # chain fully referenced
+    store.compact(spark, "t")
+    removed = store.expire_snapshots("t")
+    assert len(removed) == 2  # the two pre-compact snapshot dirs
+    dirs = list((tmp_path / "s" / "t").glob("snapshot-*"))
+    assert len(dirs) == 1
+    assert {r["url"] for r in store.read(spark, "t").collect()} == {"a", "b"}
+
+
 def test_ingest_crash_recovery_resumes_and_matches_full(spark, pages, tmp_path):
     """Kill simulation: a crashed ingest appended extract + signatures
     but never reached pairs/labels/clusters. Re-running the SAME
