@@ -47,3 +47,26 @@ def test_invalidate(spark, tmp_path):
     store.commit("s", spark.range(5))
     store.invalidate("s")
     assert not store.has("s")
+
+
+def test_shuffle_byte_counters(spark, tmp_path):
+    """north rule: lineage counters include shuffle bytes. A commit
+    whose plan shuffles records positive shuffle_write_bytes; the
+    counters ride in the manifest next to caller-provided ones."""
+    store = StageStore(tmp_path)
+    shuffled = (
+        spark.range(20_000)
+        .withColumn("k", F.pmod(F.col("id"), F.lit(64)))
+        .repartition(8, "k")  # explicit exchange => shuffle write
+        .groupBy("k")
+        .count()
+    )
+    m = store.commit("agg", shuffled, {"docs_in": 20_000})
+    c = m["counters"]
+    assert c["docs_in"] == 20_000
+    assert "shuffle_read_bytes" in c and "shuffle_write_bytes" in c
+    assert c["shuffle_write_bytes"] > 0
+    # a map-only commit right after must not inherit the agg's bytes:
+    # totals are snapshotted around each write action
+    m2 = store.commit("maponly", spark.range(10))
+    assert m2["counters"]["shuffle_write_bytes"] == 0
