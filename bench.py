@@ -147,13 +147,23 @@ def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
         with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
+            store = StageStore(tmp)
             t0 = time.time()
             res = run_pipeline(
-                spark, pages, StageStore(tmp), DedupConfig(), use_extracted=True, lcs_check=True
+                spark, pages, store, DedupConfig(), use_extracted=True, lcs_check=True
             )
             res.clusters.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-        return dt, n, res.stage_seconds
+            # per-stage shuffle traffic from the lineage counters —
+            # free (manifest reads), evidences which stages shuffle at
+            # all and how the bytes compare to the corpus size
+            shuffle_mb = {}
+            for stage in res.stage_seconds:
+                m = store.latest(stage)
+                w = (m or {}).get("counters", {}).get("shuffle_write_bytes")
+                if w is not None:
+                    shuffle_mb[stage] = round(w / 1e6, 1)
+        return dt, n, res.stage_seconds, shuffle_mb
     finally:
         spark.stop()
 
@@ -173,7 +183,7 @@ def dedup_subprocess(cores: int, corpus_path: str) -> tuple[float, int, dict]:
     if out.returncode != 0:
         raise RuntimeError(f"dedup subprocess failed: {out.stderr[-2000:]}")
     res = json.loads(out.stdout.strip().splitlines()[-1])
-    return res["seconds"], res["n"], res["stages"]
+    return res["seconds"], res["n"], res["stages"], res.get("shuffle_mb", {})
 
 
 def main() -> None:
@@ -204,8 +214,8 @@ def main() -> None:
     runs_lo, runs_hi = [], []
     for c in order:
         (runs_lo if c == CORES_LO else runs_hi).append(dedup_subprocess(c, corpus_path))
-    t_lo, n, stages_lo = min(runs_lo, key=lambda r: r[0])
-    t_hi, _, stages_hi = min(runs_hi, key=lambda r: r[0])
+    t_lo, n, stages_lo, _ = min(runs_lo, key=lambda r: r[0])
+    t_hi, _, stages_hi, shuffle_hi = min(runs_hi, key=lambda r: r[0])
     tput_lo, tput_hi = n / t_lo, n / t_hi
     eff = (tput_hi / tput_lo) / (CORES_HI / CORES_LO)
 
@@ -226,6 +236,7 @@ def main() -> None:
             "scaling_efficiency": round(eff, 4),
             "stage_seconds_lo": {k: round(v, 2) for k, v in stages_lo.items()},
             "stage_seconds_hi": {k: round(v, 2) for k, v in stages_hi.items()},
+            "stage_shuffle_write_mb": shuffle_hi,
         },
         "bench_total_sec": round(time.time() - t_all, 1),
     }
@@ -234,7 +245,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--dedup-run":
-        _t, _n, _st = run_dedup(int(sys.argv[2]), sys.argv[3])
-        print(json.dumps({"seconds": _t, "n": _n, "stages": _st}))
+        _t, _n, _st, _sh = run_dedup(int(sys.argv[2]), sys.argv[3])
+        print(json.dumps({"seconds": _t, "n": _n, "stages": _st, "shuffle_mb": _sh}))
     else:
         main()

@@ -36,17 +36,24 @@ def cmd_dedup(args) -> None:
     spark = SparkSession.builder.appName("epstein_pipeline_spark.dedup").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     pages = read_pages(spark, args.input)
+    store = StageStore(args.store)
     t0 = time.time()
     res = run_dedup(
         spark,
         pages,
-        StageStore(args.store),
+        store,
         DedupConfig(),
         resume=not args.no_resume,
         use_extracted=True,
         lcs_check=not args.no_lcs,
     )
     write_clusters(res.clusters, args.output)
+    shuffle_mb = {}
+    for stage in res.stage_seconds:
+        m = store.latest(stage)
+        w = (m or {}).get("counters", {}).get("shuffle_write_bytes")
+        if w is not None:
+            shuffle_mb[stage] = round(w / 1e6, 2)
     print(
         json.dumps(
             {
@@ -55,6 +62,7 @@ def cmd_dedup(args) -> None:
                 "clusters_rows": res.clusters.count(),
                 "seconds": round(time.time() - t0, 2),
                 "stage_seconds": {k: round(v, 2) for k, v in res.stage_seconds.items()},
+                "stage_shuffle_write_mb": shuffle_mb,
             }
         )
     )
