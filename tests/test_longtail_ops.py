@@ -156,3 +156,16 @@ def test_chunker_offsets_and_coverage(spark):
     rows = chunk_documents(docs, target_chars=500).collect()
     assert len(rows) == len(chunks)
     assert [r["chunk_index"] for r in rows] == [c[0] for c in chunks]
+
+
+def test_word_jaccard_prefix_filter_lossless(spark):
+    """The PPJoin-style prefix-filtered variant must return the exact
+    result set of the direct quadratic join — the lossless-filter
+    theorem under a consistent (df, tok) total order."""
+    from epstein_pipeline_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    direct = {tuple(r) for r in QUERIES["word_jaccard_pairs"](spark, sf).collect()}
+    prefix = {tuple(r) for r in QUERIES["word_jaccard_prefix_pairs"](spark, sf).collect()}
+    assert len(direct) > 0
+    assert direct == prefix
