@@ -110,8 +110,9 @@ def corpus_parquet(pages: int, seed: int = 42) -> str:
     return str(path)
 
 
-def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
-    """End-to-end dedup at local[cores]; returns (sec, docs, stage_sec)."""
+def run_dedup(cores: int, corpus_path: str) -> tuple[float, int, dict, dict]:
+    """End-to-end dedup at local[cores]; returns
+    (sec, docs, stage_sec, stage_shuffle_write_mb)."""
     from epstein_pipeline_spark.config import DedupConfig
     from epstein_pipeline_spark.plans.checkpoint import StageStore
     from epstein_pipeline_spark.plans.pipeline import run_dedup as run_pipeline
@@ -157,18 +158,13 @@ def run_dedup(cores: int, corpus_path: str) -> tuple[float, int]:
             # per-stage shuffle traffic from the lineage counters —
             # free (manifest reads), evidences which stages shuffle at
             # all and how the bytes compare to the corpus size
-            shuffle_mb = {}
-            for stage in res.stage_seconds:
-                m = store.latest(stage)
-                w = (m or {}).get("counters", {}).get("shuffle_write_bytes")
-                if w is not None:
-                    shuffle_mb[stage] = round(w / 1e6, 1)
+            shuffle_mb = store.stage_shuffle_write_mb(res.stage_seconds)
         return dt, n, res.stage_seconds, shuffle_mb
     finally:
         spark.stop()
 
 
-def dedup_subprocess(cores: int, corpus_path: str) -> tuple[float, int, dict]:
+def dedup_subprocess(cores: int, corpus_path: str) -> tuple[float, int, dict, dict]:
     """Run one dedup measurement in a FRESH process: JVM thread pools
     are sized at launch (-XX:ActiveProcessorCount), so each
     parallelism level needs its own JVM."""

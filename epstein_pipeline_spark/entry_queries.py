@@ -304,10 +304,15 @@ def q_word_jaccard_prefix_pairs(spark, sf):
     source, via PREFIX FILTERING (PPJoin-family, Xiao et al.): order
     each doc's tokens by ascending global document frequency (rarest
     first, ties by token), keep only the prefix of length
-    n - ceil(0.6*n) + 1, generate candidates by equi-joining prefix
-    tokens — lossless for J >= t under a consistent total order (two
-    sets with J >= t must share a token within both prefixes) — then
+    n - ceil(t'*n) + 1, generate candidates by equi-joining prefix
+    tokens — lossless for J >= t' under a consistent total order (two
+    sets with J >= t' must share a token within both prefixes) — then
     verify candidates with the exact intersect/union expression.
+    t' = 0.59995, NOT the display threshold 0.6: the verify filter
+    (and the direct twin, and the oracle) keeps pairs whose ROUNDED
+    jaccard is >= 0.6, i.e. true J >= 0.59995, so a prefix sized for
+    0.6 could legally prune a pair inside the rounding band that the
+    direct join emits.
     Same result set as ``q_word_jaccard_pairs`` (same DuckDB oracle
     pins both); candidate cost is sum(df_prefix^2) over RARE tokens
     instead of |block|^2 — the shape that survives web-scale blocks
@@ -319,10 +324,12 @@ def q_word_jaccard_prefix_pairs(spark, sf):
         "doc_id", "source", F.size("toks").alias("n"), F.explode("toks").alias("tok")
     )
     df_tab = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    # ceil(0.6*n) as ceil(3*n/5): small-int division is exactly
-    # rounded in IEEE doubles, so no 0.6*5 -> 3.0000000000000004
-    # float-boundary bug can shorten a prefix below the lossless bound
-    prefix_len = F.col("n") - F.ceil(F.lit(3) * F.col("n") / F.lit(5)) + 1
+    # ceil(0.59995*n) as ceil(11999*n/20000): integer-ratio division
+    # is correctly rounded in IEEE doubles (non-integer quotients sit
+    # >= 1/20000 from an integer vs ~1e-8 division error at any
+    # realistic n), so no float-boundary bug can shorten a prefix
+    # below the lossless bound the way a literal 0.59995*n could
+    prefix_len = F.col("n") - F.ceil(F.lit(11999) * F.col("n") / F.lit(20000)) + 1
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefixes = (
         tok.join(df_tab, "tok")

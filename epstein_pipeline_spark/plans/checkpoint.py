@@ -14,13 +14,15 @@ contract). On a real cluster this class is swapped for Iceberg tables
 (``df.writeTo(tbl).createOrReplace()``); the interface is kept
 deliberately narrow so only this module changes.
 
-Lineage: every commit also appends rows
-(stage, snapshot, partition_id, rows_out, bytes_out, wall_ts) plus
-stage-level counters (docs_in, docs_out, pairs_emitted, plus
-shuffle_read_bytes/shuffle_write_bytes measured around the write
-action from the AppStatusStore executor totals) to
+Lineage: every commit appends per-partition rows
+(stage, snapshot, partition_id, rows_out, bytes_out, wall_ts) to
 ``<root>/_lineage/`` — the per-partition evidence the north rule
-requires for resumability audits.
+requires for resumability audits — and records stage-level counters
+(docs_in, docs_out, pairs_emitted, plus shuffle_read_bytes /
+shuffle_write_bytes measured around the write action from the
+AppStatusStore executor totals) in the stage MANIFEST's ``counters``
+dict, read back via ``latest(stage)["counters"]`` /
+``stage_shuffle_write_mb``.
 """
 
 from __future__ import annotations
@@ -265,6 +267,18 @@ class StageStore:
                 shutil.rmtree(p)
                 removed.append(str(p))
         return removed
+
+    def stage_shuffle_write_mb(self, stages) -> dict:
+        """Per-stage shuffle-write MB from the latest manifests'
+        counters; stages whose counter is unavailable are omitted.
+        The single reader for bench.py / main.py reporting."""
+        out = {}
+        for stage in stages:
+            m = self.latest(stage)
+            w = (m or {}).get("counters", {}).get("shuffle_write_bytes")
+            if w is not None:
+                out[stage] = round(w / 1e6, 2)
+        return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.latest(stage)

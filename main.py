@@ -48,12 +48,7 @@ def cmd_dedup(args) -> None:
         lcs_check=not args.no_lcs,
     )
     write_clusters(res.clusters, args.output)
-    shuffle_mb = {}
-    for stage in res.stage_seconds:
-        m = store.latest(stage)
-        w = (m or {}).get("counters", {}).get("shuffle_write_bytes")
-        if w is not None:
-            shuffle_mb[stage] = round(w / 1e6, 2)
+    shuffle_mb = store.stage_shuffle_write_mb(res.stage_seconds)
     print(
         json.dumps(
             {

@@ -85,6 +85,12 @@ def main() -> None:
             for p in q.recentProgress
             if p["numInputRows"] > 0
         ]
+        # one trigger per written file, or the zip below misattributes
+        # rows to latencies (mtime ties can make availableNow batch
+        # two files into one trigger on coarse-granularity filesystems)
+        assert len(durations) == N_BATCHES, (
+            f"expected {N_BATCHES} nonzero triggers, got {len(durations)}: {durations}"
+        )
         progress = [
             {"batch_id": i, "rows": n, "seconds": s}
             for i, (n, s) in enumerate(zip(batch_rows, durations))

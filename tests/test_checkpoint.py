@@ -67,6 +67,9 @@ def test_shuffle_byte_counters(spark, tmp_path):
     assert "shuffle_read_bytes" in c and "shuffle_write_bytes" in c
     assert c["shuffle_write_bytes"] > 0
     # a map-only commit right after must not inherit the agg's bytes:
-    # totals are snapshotted around each write action
+    # totals are snapshotted around each write action, and the
+    # snapshot's listener-bus drain (inside _shuffle_totals) delivers
+    # the agg job's async metrics BEFORE the map-only window opens —
+    # the == 0 pin relies on that drain, not on luck
     m2 = store.commit("maponly", spark.range(10))
     assert m2["counters"]["shuffle_write_bytes"] == 0
