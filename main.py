@@ -91,6 +91,53 @@ def cmd_compact(args) -> None:
     print(json.dumps({"stages": done, "seconds": round(time.time() - t0, 2)}))
 
 
+def cmd_lineage(args) -> None:
+    """Audit a store without writing Spark code: per-stage manifest
+    summary (snapshot id, rows, bytes, counters incl. shuffle bytes,
+    append-chain length) plus per-partition lineage row counts from
+    the _lineage parquet — the north-rule resumability evidence,
+    surfaced at the CLI. Pure driver-side metadata reads (pyarrow);
+    no SparkSession is started."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+
+    store = StageStore(args.store)
+    stages = args.stages.split(",") if args.stages else [
+        d for d in sorted(os.listdir(args.store))
+        if not d.startswith("_") and store.has(d)
+    ]
+    out = {}
+    for st in stages:
+        m = store.latest(st)
+        out[st] = {
+            "snapshot": m["snapshot"],
+            "rows": m["rows"],
+            "bytes": m["bytes"],
+            "snapshots_in_chain": len(m.get("paths", [m["path"]])),
+            "counters": m.get("counters", {}),
+        }
+    # per-partition lineage rollup: partitions + rows_out per (stage,
+    # snapshot) — the per-partition rows the north rule requires
+    lin_dir = os.path.join(args.store, "_lineage")
+    parts: dict = defaultdict(lambda: {"partitions": 0, "rows_out": 0})
+    if os.path.isdir(lin_dir):
+        for f in sorted(os.listdir(lin_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(lin_dir, f))
+            for stage, snap, rows in zip(
+                t["stage"].to_pylist(), t["snapshot"].to_pylist(), t["rows_out"].to_pylist()
+            ):
+                k = f"{stage}/snapshot-{snap}"
+                parts[k]["partitions"] += 1
+                parts[k]["rows_out"] += rows
+    print(json.dumps({"stages": out, "lineage": dict(sorted(parts.items()))}))
+
+
 def cmd_export(args) -> None:
     """Export a parquet table to JSON-lines / CSV / SQLite(+FTS5)
     (reference cli.py export commands; exporters/sqlite_export.py).
@@ -255,6 +302,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--store", required=True)
     c.add_argument("--stages", default=None, help="comma-separated; default: all chained stages")
     c.set_defaults(fn=cmd_compact)
+
+    ln = sub.add_parser("lineage", help="audit a store: manifests, counters, per-partition lineage")
+    ln.add_argument("--store", required=True)
+    ln.add_argument("--stages", default=None, help="comma list (default: all committed stages)")
+    ln.set_defaults(fn=cmd_lineage)
 
     e = sub.add_parser("export", help="export a parquet table to json / csv / sqlite+FTS5")
     e.add_argument("--input", required=True, help="parquet table (docs schema for csv/sqlite)")

@@ -68,6 +68,21 @@ def test_spark_submit_synth_then_dedup(zipfile_path, tmp_path):
     assert all(v == 0.0 for v in res3["stage_seconds"].values()), res3["stage_seconds"]
     assert res3["clusters_rows"] == res["clusters_rows"]
 
+    # lineage audit over the committed store: pure metadata reads, no
+    # SparkSession (plain python, not spark-submit), counters present
+    out4 = subprocess.run(
+        [sys.executable, str(REPO / "main.py"), "lineage", "--store", str(store)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out4.returncode == 0, out4.stderr[-2000:]
+    lin = json.loads(out4.stdout.strip().splitlines()[-1])
+    assert lin["stages"]["extract"]["rows"] == 300
+    assert lin["stages"]["extract"]["counters"]["shuffle_write_bytes"] == 0
+    assert lin["stages"]["labels"]["counters"]["shuffle_write_bytes"] > 0
+    # per-partition rollup agrees with the manifests
+    assert lin["lineage"]["extract/snapshot-0"]["rows_out"] == 300
+    assert lin["lineage"]["labels/snapshot-0"]["partitions"] >= 1
+
 
 def test_spark_submit_resolve_trained(zipfile_path, tmp_path, spark):
     """The resolve subcommand through the real binary: planted
