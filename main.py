@@ -221,9 +221,10 @@ def cmd_ingest(args) -> None:
     spark = SparkSession.builder.appName("epstein_pipeline_spark.ingest").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     pages = read_pages(spark, args.input)
+    store = StageStore(args.store)
     t0 = time.time()
     res = run_incremental(
-        spark, pages, StageStore(args.store), DedupConfig(),
+        spark, pages, store, DedupConfig(),
         use_extracted=True, lcs_check=not args.no_lcs,
     )
     write_clusters(res.clusters, args.output)
@@ -235,6 +236,9 @@ def cmd_ingest(args) -> None:
                 "clusters_rows": res.clusters.count(),
                 "seconds": round(time.time() - t0, 2),
                 "stage_seconds": {k: round(v, 2) for k, v in res.stage_seconds.items()},
+                # NB: counters come from each stage's LATEST snapshot —
+                # for appended stages that is this delta's snapshot
+                "stage_shuffle_write_mb": store.stage_shuffle_write_mb(res.stage_seconds),
             }
         )
     )
