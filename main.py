@@ -96,23 +96,35 @@ def cmd_lineage(args) -> None:
     summary (snapshot id, rows, bytes, counters incl. shuffle bytes,
     append-chain length) plus per-partition lineage row counts from
     the _lineage parquet — the north-rule resumability evidence,
-    surfaced at the CLI. Pure driver-side metadata reads (pyarrow);
-    no SparkSession is started."""
+    surfaced at the CLI. Reads MANIFEST.json + parquet footers
+    directly (json/pyarrow only — genuinely no pyspark import, and
+    a READ-ONLY path: constructing StageStore would mkdir a mistyped
+    --store and mask the error as an empty audit)."""
     import os
     from collections import defaultdict
 
     import pyarrow.parquet as pq
 
-    from epstein_pipeline_spark.plans.checkpoint import StageStore
+    if not os.path.isdir(args.store):
+        raise SystemExit(f"lineage: no such store directory: {args.store}")
 
-    store = StageStore(args.store)
-    stages = args.stages.split(",") if args.stages else [
-        d for d in sorted(os.listdir(args.store))
-        if not d.startswith("_") and store.has(d)
-    ]
+    def manifest(stage: str) -> dict | None:
+        p = os.path.join(args.store, stage, "MANIFEST.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    stages = args.stages.split(",") if args.stages else sorted(
+        d for d in os.listdir(args.store)
+        if not d.startswith("_") and manifest(d) is not None
+    )
     out = {}
     for st in stages:
-        m = store.latest(st)
+        m = manifest(st)
+        if m is None:  # named explicitly but never committed
+            out[st] = {"committed": False}
+            continue
         out[st] = {
             "snapshot": m["snapshot"],
             "rows": m["rows"],
@@ -121,7 +133,8 @@ def cmd_lineage(args) -> None:
             "counters": m.get("counters", {}),
         }
     # per-partition lineage rollup: partitions + rows_out per (stage,
-    # snapshot) — the per-partition rows the north rule requires
+    # snapshot) — the per-partition rows the north rule requires.
+    # partition_id -1 is the empty-snapshot sentinel, not a partition.
     lin_dir = os.path.join(args.store, "_lineage")
     parts: dict = defaultdict(lambda: {"partitions": 0, "rows_out": 0})
     if os.path.isdir(lin_dir):
@@ -129,13 +142,19 @@ def cmd_lineage(args) -> None:
             if not f.endswith(".parquet"):
                 continue
             t = pq.read_table(os.path.join(lin_dir, f))
-            for stage, snap, rows in zip(
-                t["stage"].to_pylist(), t["snapshot"].to_pylist(), t["rows_out"].to_pylist()
+            for stage, snap, pid, rows in zip(
+                t["stage"].to_pylist(), t["snapshot"].to_pylist(),
+                t["partition_id"].to_pylist(), t["rows_out"].to_pylist(),
             ):
                 k = f"{stage}/snapshot-{snap}"
-                parts[k]["partitions"] += 1
+                if pid >= 0:
+                    parts[k]["partitions"] += 1
                 parts[k]["rows_out"] += rows
-    print(json.dumps({"stages": out, "lineage": dict(sorted(parts.items()))}))
+    # numeric snapshot order (lexicographic would put 10 before 2)
+    ordered = sorted(parts.items(), key=lambda kv: (
+        kv[0].rsplit("/snapshot-", 1)[0], int(kv[0].rsplit("-", 1)[1])
+    ))
+    print(json.dumps({"stages": out, "lineage": dict(ordered)}))
 
 
 def cmd_export(args) -> None:
