@@ -72,6 +72,22 @@ HEADLINE = [
 ]
 
 
+def warm_page_cache(sf_dir: str) -> None:
+    """Sequentially read the sf tables once so the OS page cache is
+    warm before the FIRST headline pass. The headline metric is query
+    compute, not disk: without this, a bench that runs after the host
+    has been idle charges cold-file reads to pass 1 of whichever
+    queries touch each table first (measured: a cold sitting's
+    headline block ran 37.7 s vs 26.1 s immediately after — same
+    code). min-of-2 still absorbs JVM/JIT warmup; this only removes
+    the IO component that min-of-2 cannot (both passes read the same
+    cached pages once the first pass has run)."""
+    for p in sorted(Path(sf_dir).glob("**/*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """min-of-2 per query — the same steady-state estimator as the
     dedup levels: pass 1 absorbs JVM/JIT/codegen warmup (which
@@ -188,6 +204,7 @@ def main() -> None:
     # 1. headline queries at the target SF
     from epstein_pipeline_spark.session import get_spark
 
+    warm_page_cache(SF_DIR)
     spark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=128)
     queries = run_queries(spark, SF_DIR)
     spark.stop()
