@@ -73,15 +73,14 @@ HEADLINE = [
 
 
 def warm_page_cache(sf_dir: str) -> None:
-    """Sequentially read the sf tables once so the OS page cache is
-    warm before the FIRST headline pass. The headline metric is query
-    compute, not disk: without this, a bench that runs after the host
-    has been idle charges cold-file reads to pass 1 of whichever
-    queries touch each table first (measured: a cold sitting's
-    headline block ran 37.7 s vs 26.1 s immediately after — same
-    code). min-of-2 still absorbs JVM/JIT warmup; this only removes
-    the IO component that min-of-2 cannot (both passes read the same
-    cached pages once the first pass has run)."""
+    """Sequentially read the sf tables once before the headline
+    block. At sf0.1 this is ~17 MB / <0.1 s — a costless guard that
+    removes file IO as a variable, NOT a big lever: a measured
+    slow-vs-normal headline sitting (37.7 s vs 26.1 s, same code,
+    same sf) is host-window noise (the documented 10-20 s
+    hiccup/drift band), which min-of-2 WITHIN a sitting cannot
+    cancel when the whole window is slow. Cross-sitting comparison
+    remains the honest check for that."""
     for p in sorted(Path(sf_dir).glob("**/*.parquet")):
         with open(p, "rb") as f:
             while f.read(1 << 22):
