@@ -329,7 +329,13 @@ def q_word_jaccard_prefix_pairs(spark, sf):
     # >= 1/20000 from an integer vs ~1e-8 division error at any
     # realistic n), so no float-boundary bug can shorten a prefix
     # below the lossless bound the way a literal 0.59995*n could
-    prefix_len = F.col("n") - F.ceil(F.lit(11999) * F.col("n") / F.lit(20000)) + 1
+    # n is cast to long BEFORE the multiply: 11999 * int32(n) is 32-bit
+    # arithmetic, which overflows past ~179k distinct tokens — an ANSI
+    # runtime error (Spark 4 default) or a silently negative prefix
+    # length (missed pairs) with ANSI off
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(11999) * F.col("n").cast("long") / F.lit(20000)) + 1
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefixes = (
         tok.join(df_tab, "tok")
@@ -559,8 +565,15 @@ def q_customer_fuzzy_pairs(spark, sf):
     # step.
     from epstein_pipeline_spark.config import DEFAULT_CONFIG as _cfg
 
+    # n_blocks_hint: the block key is c_nationkey — a FIXED 25-value
+    # domain (TPC-H nation table), so the broadcast gate needs no
+    # approx_count_distinct probe; the hint keeps this call fully lazy
     pairs = salted_block_join(
-        c, "c_nationkey", ["c_custkey", "c_name"], cap=_cfg.fuzzy_block_cap
+        c,
+        "c_nationkey",
+        ["c_custkey", "c_name"],
+        cap=_cfg.fuzzy_block_cap,
+        n_blocks_hint=25,
     )
     return (
         pairs.withColumn(

@@ -68,6 +68,7 @@ def salted_block_join(
     payload_cols: list[str],
     cap: int,
     broadcast_max_blocks: int = 2_000_000,
+    n_blocks_hint: int | None = None,
 ) -> DataFrame:
     """The dense-block variant of the blocked-pair skew guard.
 
@@ -98,13 +99,25 @@ def salted_block_join(
     ``broadcast_max_blocks`` the sizes join falls back to a shuffled
     equi-join (AQE may still runtime-convert it if the table proves
     small). ``broadcast_max_blocks=0`` forces the shuffle path.
+
+    The probe is an EAGER extra action at call time (it executes the
+    un-materialized upstream plan once beyond the join itself). When
+    the caller already knows a bound on the block-key cardinality —
+    a fixed key domain, or a committed manifest row count the way
+    ``run_incremental`` gates its delta broadcasts — pass it as
+    ``n_blocks_hint`` and the probe is skipped entirely; the call is
+    then fully lazy.
     """
     id_col = payload_cols[0]
     sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
     if broadcast_max_blocks > 0:
-        n_blocks = df.agg(
-            F.approx_count_distinct(block_col).alias("n")
-        ).collect()[0]["n"]
+        n_blocks = (
+            n_blocks_hint
+            if n_blocks_hint is not None
+            else df.agg(F.approx_count_distinct(block_col).alias("n")).collect()[0][
+                "n"
+            ]
+        )
         if n_blocks <= broadcast_max_blocks:
             sizes = F.broadcast(sizes)
     t = (

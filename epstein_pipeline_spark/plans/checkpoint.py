@@ -27,6 +27,7 @@ dict, read back via ``latest(stage)["counters"]`` /
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -74,6 +75,15 @@ def _shuffle_totals(spark) -> tuple[int, int] | None:
         return None
 
 
+class CommitConflictError(RuntimeError):
+    """Raised when a commit's parent snapshot is no longer the stage's
+    current snapshot — another writer published first. Iceberg's
+    optimistic-concurrency contract: the STALE committer fails (and may
+    recompute + retry from the new head); it is never silently
+    overwritten by last-writer-wins (reference analog: SQLite state's
+    transactional ``mark_processed``, state.py:62-76)."""
+
+
 class StageStore:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -102,23 +112,96 @@ class StageStore:
         df: DataFrame,
         counters: dict | None = None,
         extra: dict | None = None,
+        expected_parent: object = "_CAPTURE_",
     ) -> dict:
         """Write df as the next snapshot of `stage`, atomically commit,
         record per-partition lineage. ``extra`` keys are merged into
         the manifest (e.g. ``for_extract_snapshot`` — the lineage
         pointer the incremental plan's freshness rule compares; an id
         comparison is immune to wall-clock steps between process
-        restarts, unlike the committed_at timestamps)."""
+        restarts, unlike the committed_at timestamps).
+
+        Optimistic concurrency: the stage's current snapshot id is
+        captured at entry (or passed by callers that read the stage
+        earlier, e.g. ``compact``); if another writer publishes in the
+        meantime, ``_publish`` raises ``CommitConflictError`` instead
+        of silently dropping their commit."""
+        if expected_parent == "_CAPTURE_":
+            cur = self.latest(stage)
+            expected_parent = cur["snapshot"] if cur else None
         m = self._write_snapshot(stage, df, counters)
         if extra:
             m = dict(m, **extra)
-        self._publish(stage, m)
+        self._publish(stage, m, expected_parent=expected_parent)
         return m
 
-    def _publish(self, stage: str, manifest: dict) -> None:
-        tmp = self._stage_dir(stage) / f".manifest-{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, self._manifest(stage))  # atomic commit
+    @contextlib.contextmanager
+    def _manifest_lock(self, stage: str, timeout: float = 30.0):
+        """Short exclusive lock around _publish's read-check-swap (the
+        only multi-step critical section; snapshot writes themselves
+        never hold it). Acquisition is an atomic ``os.link`` of a
+        pre-written pid file, so the lock always appears WITH its
+        holder recorded; locks whose holder pid is dead are stolen —
+        a writer killed mid-publish (crash matrix) must never block
+        recovery. Local-FS only by design: on a real cluster this
+        whole class is swapped for Iceberg, whose catalog provides the
+        compare-and-swap."""
+        sdir = self._stage_dir(stage)
+        sdir.mkdir(parents=True, exist_ok=True)
+        lock = sdir / ".MANIFEST.lock"
+        tmp = sdir / f".lock-{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps({"pid": os.getpid(), "ts": time.time()}))
+        deadline = time.time() + timeout
+        try:
+            while True:
+                try:
+                    os.link(tmp, lock)
+                    break
+                except FileExistsError:
+                    try:
+                        holder = json.loads(lock.read_text()).get("pid", 0)
+                    except (OSError, ValueError):
+                        holder = 0  # holder just released; retry
+                    if holder > 0 and holder != os.getpid():
+                        try:
+                            os.kill(holder, 0)
+                        except ProcessLookupError:
+                            # dead holder: steal (missing_ok — another
+                            # waiter may steal it first)
+                            lock.unlink(missing_ok=True)
+                            continue
+                        except PermissionError:
+                            pass  # alive, not ours to signal
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"manifest lock for stage '{stage}' held by "
+                            f"pid {holder} past {timeout}s"
+                        )
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                lock.unlink(missing_ok=True)
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def _publish(
+        self, stage: str, manifest: dict, expected_parent: object = "_SKIP_"
+    ) -> None:
+        with self._manifest_lock(stage):
+            if expected_parent != "_SKIP_":
+                cur = self.latest(stage)
+                cur_id = cur["snapshot"] if cur else None
+                if cur_id != expected_parent:
+                    raise CommitConflictError(
+                        f"stage '{stage}': expected parent snapshot "
+                        f"{expected_parent} but current is {cur_id} — "
+                        "another writer committed first; recompute from "
+                        "the new head and retry"
+                    )
+            tmp = self._stage_dir(stage) / f".manifest-{uuid.uuid4().hex}.tmp"
+            tmp.write_text(json.dumps(manifest, indent=2))
+            os.replace(tmp, self._manifest(stage))  # atomic commit
 
     def _write_snapshot(self, stage: str, df: DataFrame, counters: dict | None) -> dict:
         """Write snapshot files + lineage; return the manifest dict
@@ -126,16 +209,39 @@ class StageStore:
         must never expose a delta-only intermediate manifest)."""
         # never reuse a snapshot id, even after invalidate(): old readers
         # may still hold DataFrames over earlier snapshot files
-        # (Iceberg's snapshots-are-immutable contract)
-        existing = [
+        # (Iceberg's snapshots-are-immutable contract). The id is
+        # RESERVED via an O_EXCL marker before writing: Spark's
+        # overwrite mode deletes the output dir momentarily, so a
+        # concurrent writer scanning only snapshot-* dirs could pick
+        # the same id and the two writes would interleave into one
+        # directory — the marker closes that window (optimistic
+        # concurrency then fails the stale committer at _publish).
+        sdir = self._stage_dir(stage)
+        sdir.mkdir(parents=True, exist_ok=True)
+        taken = {
             int(p.name.split("-", 1)[1])
-            for p in self._stage_dir(stage).glob("snapshot-*")
+            for pat in ("snapshot-*", ".reserve-*")
+            for p in sdir.glob(pat)
             if p.name.split("-", 1)[1].isdigit()
-        ]
-        snap_id = (max(existing) + 1) if existing else 0
-        out_dir = self._stage_dir(stage) / f"snapshot-{snap_id}"
+        }
+        snap_id = (max(taken) + 1) if taken else 0
+        while True:
+            try:
+                os.close(
+                    os.open(
+                        sdir / f".reserve-{snap_id}", os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                )
+                break
+            except FileExistsError:
+                snap_id += 1
+        out_dir = sdir / f"snapshot-{snap_id}"
         sh0 = _shuffle_totals(df.sparkSession)
         df.write.mode("overwrite").parquet(str(out_dir))
+        # the directory now claims the id; the reservation marker has
+        # done its job (a crash before this line leaves an orphan
+        # marker, which merely skips an id — harmless)
+        (sdir / f".reserve-{snap_id}").unlink(missing_ok=True)
         sh1 = _shuffle_totals(df.sparkSession)
         if sh0 is not None and sh1 is not None:
             # the write action is what executes the (lazy) stage plan,
@@ -211,13 +317,19 @@ class StageStore:
         relies on (asserted here so they are executable, not comments):
         ``paths`` lists snapshots in COMMIT ORDER with the just-written
         delta LAST, and ``delta_rows`` records that last snapshot's own
-        row count (``rows`` stays cumulative)."""
+        row count (``rows`` stays cumulative).
+
+        Optimistic concurrency: the parent read here is the commit's
+        expected head — if a concurrent writer publishes between this
+        read and ``_publish``, this append raises
+        ``CommitConflictError`` (its delta was derived against a stale
+        parent and must be recomputed), never last-writer-wins."""
         parent = self.latest(stage)
         if parent is None:
-            m = self.commit(stage, delta, counters, extra)
+            m = self.commit(stage, delta, counters, extra, expected_parent=None)
             if "delta_rows" not in m:
                 m = dict(m, delta_rows=m["rows"])
-                self._publish(stage, m)
+                self._publish(stage, m, expected_parent=m["snapshot"])
             return m
         m = self._write_snapshot(stage, delta, counters)
         parent_paths = parent.get("paths", [parent["path"]])
@@ -235,7 +347,7 @@ class StageStore:
             "append manifest must list snapshot paths in commit order "
             "with the in-flight delta last"
         )
-        self._publish(stage, m)
+        self._publish(stage, m, expected_parent=parent["snapshot"])
         return m
 
     def compact(self, spark: SparkSession, stage: str) -> dict:
@@ -247,7 +359,22 @@ class StageStore:
         m = self.latest(stage)
         if m is None or len(m.get("paths", [m["path"]])) <= 1:
             return m or {}
-        return self.commit(stage, self.read(spark, stage), m.get("counters"))
+        # carry the freshness/gating manifest keys forward: dropping
+        # for_extract_snapshot would make the next ingest's id-based
+        # freshness rule misclassify the compacted stage as a crashed
+        # ingest and re-fold the latest extract delta (duplicate rows
+        # persisted into the chain); delta_rows keeps the broadcast
+        # gate's bound for the last committed delta
+        carried = {
+            k: m[k] for k in ("for_extract_snapshot", "delta_rows") if k in m
+        }
+        return self.commit(
+            stage,
+            self.read(spark, stage),
+            m.get("counters"),
+            extra=carried or None,
+            expected_parent=m["snapshot"],
+        )
 
     def expire_snapshots(self, stage: str) -> list[str]:
         """Delete snapshot directories no longer referenced by the
@@ -260,10 +387,15 @@ class StageStore:
         import shutil
 
         m = self.latest(stage)
-        keep = {Path(p) for p in m.get("paths", [m["path"]])} if m else set()
+        # compare by snapshot-directory NAME within the stage dir, not
+        # by full path string: reopening the store under a different
+        # root spelling (relative vs absolute, symlinked /tmp) would
+        # make every referenced path compare unequal and rmtree live
+        # data
+        keep = {Path(p).name for p in m.get("paths", [m["path"]])} if m else set()
         removed: list[str] = []
         for p in sorted(self._stage_dir(stage).glob("snapshot-*")):
-            if p.is_dir() and p not in keep:
+            if p.is_dir() and p.name not in keep:
                 shutil.rmtree(p)
                 removed.append(str(p))
         return removed

@@ -73,3 +73,100 @@ def test_shuffle_byte_counters(spark, tmp_path):
     # the == 0 pin relies on that drain, not on luck
     m2 = store.commit("maponly", spark.range(10))
     assert m2["counters"]["shuffle_write_bytes"] == 0
+
+
+def test_two_writer_append_conflict(spark, tmp_path):
+    """Optimistic concurrency (Iceberg's commit contract, reference
+    analog: SQLite state's transactional mark_processed,
+    state.py:62-76): two writers against one stage — the writer whose
+    parent went stale RAISES CommitConflictError instead of silently
+    last-writer-winning; the interloper's commit survives intact, and
+    a recompute-from-new-head retry then succeeds."""
+    import pytest
+
+    from epstein_pipeline_spark.plans.checkpoint import CommitConflictError
+
+    store = StageStore(tmp_path)
+    store.commit("s", spark.range(10))
+
+    # interleave writer B between A's parent read and A's publish by
+    # wrapping the snapshot write (the realistic race: both ingests
+    # read the same head, both write snapshot files, B publishes first)
+    other = StageStore(tmp_path)
+    orig = store._write_snapshot
+    raced = {"done": False}
+
+    def write_and_race(stage, df, counters):
+        m = orig(stage, df, counters)
+        if not raced["done"]:
+            raced["done"] = True
+            other.commit("s", spark.range(7))  # writer B publishes first
+        return m
+
+    store._write_snapshot = write_and_race
+    with pytest.raises(CommitConflictError):
+        store.append("s", spark.range(5))
+    store._write_snapshot = orig
+
+    # B's commit is the surviving head; the store is complete/readable
+    assert store.read(spark, "s").count() == 7
+    # A recomputes against the new head and retries: clean append
+    m = store.append("s", spark.range(5))
+    assert m["delta_rows"] == 5 and m["parent_snapshot"] is not None
+    assert store.read(spark, "s").count() == 12
+
+
+def test_concurrent_snapshot_ids_never_collide(spark, tmp_path):
+    """The reservation marker: a second writer starting while the
+    first writer's snapshot dir is mid-write (or momentarily deleted
+    by Spark's overwrite) must pick a DIFFERENT snapshot id."""
+    store = StageStore(tmp_path)
+    store.commit("s", spark.range(3))
+    # simulate writer A holding a reservation for the next id
+    (store._stage_dir("s") / ".reserve-1").touch()
+    m = store.commit("s", spark.range(4))
+    assert m["snapshot"] == 2  # skipped the reserved id
+
+
+def test_dead_writer_lock_is_stolen(spark, tmp_path):
+    """A writer killed mid-publish leaves its manifest lock behind;
+    the next writer steals it (dead pid) instead of deadlocking —
+    the crash-matrix recovery contract."""
+    import json as _json
+
+    store = StageStore(tmp_path)
+    store.commit("s", spark.range(2))
+    lock = store._stage_dir("s") / ".MANIFEST.lock"
+    lock.write_text(_json.dumps({"pid": 2**22 + 12345, "ts": 0.0}))
+    m = store.commit("s", spark.range(6))  # must not block or raise
+    assert m["rows"] == 6 and not lock.exists()
+
+
+def test_compact_carries_freshness_keys(spark, tmp_path):
+    """compact() must carry for_extract_snapshot (the id the
+    incremental freshness rule compares) and delta_rows (the broadcast
+    gate's bound) into the rewritten manifest — dropping them made the
+    next ingest misclassify a completed ingest as crashed and re-fold
+    the latest extract delta."""
+    store = StageStore(tmp_path)
+    store.commit("t", spark.range(10), extra={"for_extract_snapshot": 4})
+    store.append("t", spark.range(3), extra={"for_extract_snapshot": 5})
+    m = store.compact(spark, "t")
+    assert m["for_extract_snapshot"] == 5
+    assert m["delta_rows"] == 3
+    assert len(m.get("paths", [m["path"]])) == 1
+    assert store.read(spark, "t").count() == 13
+
+
+def test_expire_snapshots_root_spelling_invariant(spark, tmp_path):
+    """expire_snapshots compares snapshot-directory NAMES: reopening
+    the store under a different root spelling (here: a path routed
+    through '..') must not treat every referenced snapshot as
+    unreferenced and delete live data."""
+    store = StageStore(tmp_path)
+    store.commit("t", spark.range(10))
+    store.append("t", spark.range(5))
+    respelled = tmp_path / "x" / ".." 
+    store2 = StageStore(respelled)
+    assert store2.expire_snapshots("t") == []
+    assert store2.read(spark, "t").count() == 15
