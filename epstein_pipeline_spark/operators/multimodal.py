@@ -8,11 +8,13 @@ modes (``decode_stub``):
 - ``'deterministic'`` — seeded fake feature from the bytes' sha256,
   so the full distributed path is testable for ANY media kind;
 - ``'decode'`` — REAL decode for image rows via the dependency-free
-  BMP/PPM codec (``functions/imagecodec.py``): actual pixels ->
-  feature stats / nearest-neighbor resize. Audio/video kinds keep the
-  deterministic stub (no ffmpeg in this container); an image in an
-  undecodable format raises ``UnsupportedImageError`` — the exact
-  plug point for PIL;
+  BMP/PPM codec (``functions/imagecodec.py``) and for audio rows via
+  the RIFF/PCM WAV codec (``functions/audiocodec.py``): actual
+  pixels/samples -> feature stats / nearest-neighbor resize. Video
+  keeps the deterministic stub (no ffmpeg in this container); an
+  image/audio row in an undecodable format raises
+  ``UnsupportedImageError``/``UnsupportedAudioError`` — the exact
+  plug points for PIL/ffmpeg;
 - ``'raise'`` — surface the missing-codec error unconditionally.
 """
 
@@ -26,6 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from epstein_pipeline_spark.functions.audiocodec import (
+    audio_feature,
+    decode_wav,
+    encode_wav,
+)
 from epstein_pipeline_spark.functions.imagecodec import (
     decode_image,
     encode_bmp,
@@ -66,12 +73,15 @@ def extract_features(
                     "real media decode requires PIL/ffmpeg — not in this container"
                 )
             if decode_stub == "decode":
-                feats = [
-                    image_feature(decode_image(bytes(c or b"")), dim)
-                    if k == "image"
-                    else _fake_feature(bytes(c) if c is not None else b"", dim)
-                    for c, k in zip(pdf["content"], pdf["kind"])
-                ]
+
+                def real(c, k):
+                    if k == "image":
+                        return image_feature(decode_image(bytes(c or b"")), dim)
+                    if k == "audio":
+                        return audio_feature(*decode_wav(bytes(c or b"")), dim)
+                    return _fake_feature(bytes(c) if c is not None else b"", dim)
+
+                feats = [real(c, k) for c, k in zip(pdf["content"], pdf["kind"])]
             else:
                 feats = [
                     _fake_feature(bytes(c) if c is not None else b"", dim)
@@ -148,6 +158,31 @@ def synth_bmp_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
         rgb[:, :] = [(i * 37) % 256, (i * 91) % 256, (i * 53) % 256]
         rgb[:, 0, 0] = np.linspace(0, 255, h).astype(np.uint8)  # stripe
         rows.append((f"bmp{i:04d}", "image", encode_bmp(rgb), "image/bmp", w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_wav_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-audio media table: each row is a valid PCM16
+    WAV (a pure sine at a row-dependent frequency, amplitude, channel
+    count and rate) whose sample content is a pure function of the row
+    index — so decoded feature stats are checkable against planted
+    values (rms of a sine = amplitude/sqrt(2), spectral energy
+    concentrates in the tone's bin)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        rate = [8000, 16000, 22050, 44100][i % 4]
+        n_ch = 1 + (i % 2)
+        dur_ms = int(rng.randint(50, 400))
+        freq = 100.0 + 37.0 * i
+        amp = 0.2 + 0.05 * (i % 10)
+        t = np.arange(int(rate * dur_ms / 1000)) / rate
+        wave = amp * np.sin(2 * np.pi * freq * t)
+        samples = np.stack([wave] * n_ch, axis=1)
+        rows.append(
+            (f"wav{i:04d}", "audio", encode_wav(samples, rate), "audio/wav",
+             None, None, dur_ms)
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -80,6 +80,7 @@ def _touched_bucket_pairs(
     bands_old: DataFrame, bands_delta: DataFrame, key_cols: list[str],
     member_cols: list[str], cap: int,
     bc=F.broadcast,
+    delta_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Guarded bucket pair expansion restricted to buckets a delta row
     touches, emitting only pairs with >= 1 new side.
@@ -95,8 +96,14 @@ def _touched_bucket_pairs(
     new-touching pairs preserves every new member's connectivity (its
     chain/star edges all touch it), and old-old connectivity is
     already represented by the committed labels.
+
+    ``delta_keys`` lets the caller hand in a PRE-MATERIALIZED
+    (persisted) key set — run_incremental builds all its delta key
+    sets concurrently up front instead of serially inside each
+    consumer's first action (the r4 Amdahl-ceiling fix).
     """
-    delta_keys = bands_delta.select(*key_cols).distinct()
+    if delta_keys is None:
+        delta_keys = bands_delta.select(*key_cols).distinct()
     old_touched = bands_old.join(bc(delta_keys), key_cols, "left_semi")
     members = old_touched.withColumn("is_new", F.lit(False)).unionByName(
         bands_delta.withColumn("is_new", F.lit(True))
@@ -247,6 +254,62 @@ def run_incremental(
     )
     sigs_all = store.read(spark, "signatures")
 
+    # shared band projections (used by the prep block below and the
+    # candidate builders)
+    from epstein_pipeline_spark.functions.simhash import (
+        hamming_distance_expr,
+        simhash_bands_expr,
+    )
+
+    mh_delta = sigs_delta.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
+
+    def sh_bands(sigs: DataFrame) -> DataFrame:
+        return sigs.filter(F.col("_len") > cfg.simhash_min_len).select(
+            "url", "simhash",
+            F.posexplode(
+                simhash_bands_expr("simhash", cfg.simhash_bands, cfg.simhash_bits)
+            ).alias("band_i", "band_val"),
+        )
+
+    # DELTA KEY-SET PREP (r4 verdict "Amdahl ceiling" fix): the three
+    # delta-derived key sets — MinHash band keys, SimHash band keys,
+    # content hashes — each feed a broadcast semi-join downstream.
+    # Left alone, each broadcast builds SERIALLY on the driver inside
+    # its consumer's first action (scan + distinct + collect per set,
+    # back to back), a cost that is flat in delta size and becomes the
+    # ingest job's Amdahl ceiling on a many-executor cluster. Here the
+    # sets are persisted and materialized CONCURRENTLY in one up-front
+    # step (Spark schedules jobs from multiple driver threads onto the
+    # same executor pool), so the serial tail collapses to ~max
+    # instead of sum, and each consumer's broadcast build is a scan of
+    # a cached table. Only sets whose consumer stage is stale for this
+    # delta are built (a crash-recovered stage skips its prep), and
+    # only on the broadcast path (a backfill-sized delta shuffles —
+    # persisting corpus-scale key sets would just spill).
+    prepped: dict[str, DataFrame] = {}
+    if small_delta:
+        to_prep: dict[str, DataFrame] = {}
+        if not _fresh("minhash_candidates", ref_snap):
+            to_prep["mh_keys"] = (
+                band_rows(mh_delta, cfg).select("band_i", "band_hash").distinct()
+            )
+        if not _fresh("pairs", ref_snap):
+            to_prep["sh_keys"] = (
+                sh_bands(sigs_delta).select("band_i", "band_val").distinct()
+            )
+            to_prep["hashes"] = docs_delta.select("content_hash").distinct()
+        if to_prep:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _materialize(item):
+                name, df = item
+                df = df.persist()
+                df.count()
+                return name, df
+
+            with ThreadPoolExecutor(len(to_prep)) as ex:
+                prepped = dict(ex.map(_materialize, to_prep.items()))
+
     # 3. exact pass: delta-internal star pairs + delta -> old-anchor
     def build_exact() -> DataFrame:
         from epstein_pipeline_spark.operators.exact import exact_pairs
@@ -257,7 +320,11 @@ def run_incremental(
         # instead of shuffling the whole committed corpus by
         # content_hash on every ingest — the same pattern as the
         # band-key semi-join in _touched_bucket_pairs
-        delta_hashes = docs_delta.select("content_hash").distinct()
+        delta_hashes = (
+            prepped.get("hashes")
+            if prepped.get("hashes") is not None
+            else docs_delta.select("content_hash").distinct()
+        )
         old_anchor = (
             old_docs.join(bc(delta_hashes), "content_hash", "left_semi")
             .groupBy("content_hash")
@@ -275,17 +342,22 @@ def run_incremental(
         )
         return internal.unionByName(cross)
 
-    p_exact = timed("pairs_exact", build_exact)
+    # the "(plan)" suffix is an honest-reporting contract: these three
+    # builders only DECLARE their DataFrame plans here (near-zero
+    # seconds); execution happens inside the `pairs` append — the
+    # union's write is the first action over them — so their real cost
+    # lands in the `pairs` stage timer, not these rows
+    p_exact = timed("pairs_exact(plan)", build_exact)
 
     # 4. MinHash candidates: delta bands vs touched old buckets
     mh_old = old_sigs.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
-    mh_delta = sigs_delta.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
     mh_all = sigs_all.filter(F.col("_len") > cfg.minhash_min_len).select("url", "sig")
 
     def build_candidates() -> DataFrame:
         pairs = _touched_bucket_pairs(
             band_rows(mh_old, cfg), band_rows(mh_delta, cfg),
             ["band_i", "band_hash"], ["url"], cfg.band_bucket_cap, bc=bc,
+            delta_keys=prepped.get("mh_keys"),
         ).select(
             F.col("p.a.url").alias("url1"), F.col("p.b.url").alias("url2")
         ).dropDuplicates(["url1", "url2"])
@@ -308,25 +380,14 @@ def run_incremental(
     )
 
     # 5. SimHash pass: same touched-bucket pattern, signatures ride in
-    # the member structs (no join back)
-    from epstein_pipeline_spark.functions.simhash import (
-        hamming_distance_expr,
-        simhash_bands_expr,
-    )
-
-    def sh_bands(sigs: DataFrame) -> DataFrame:
-        return sigs.filter(F.col("_len") > cfg.simhash_min_len).select(
-            "url", "simhash",
-            F.posexplode(
-                simhash_bands_expr("simhash", cfg.simhash_bands, cfg.simhash_bits)
-            ).alias("band_i", "band_val"),
-        )
-
+    # the member structs (no join back); sh_bands + the simhash
+    # imports moved up beside the key-set prep block
     def build_simhash() -> DataFrame:
         pairs = _touched_bucket_pairs(
             sh_bands(old_sigs), sh_bands(sigs_delta),
             ["band_i", "band_val"], ["url", "simhash"], cfg.band_bucket_cap,
             bc=bc,
+            delta_keys=prepped.get("sh_keys"),
         )
         d = hamming_distance_expr(F.col("p.a.simhash"), F.col("p.b.simhash"))
         return (
@@ -340,13 +401,13 @@ def run_incremental(
             .dropDuplicates(["url1", "url2"])
         )
 
-    p_simhash = timed("pairs_simhash", build_simhash)
+    p_simhash = timed("pairs_simhash(plan)", build_simhash)
 
     # 6. LCS rescue over the new gray zone
     p_lcs = None
     if lcs_check:
         p_lcs = timed(
-            "pairs_lcs",
+            "pairs_lcs(plan)",
             lambda: lcs_rescue(
                 mh_scored.filter(F.col("score") < cfg.jaccard_threshold), docs_all, cfg
             ),
@@ -372,7 +433,14 @@ def run_incremental(
         .unionByName(pairs_delta.select(F.col("url2").alias("url")))
         .distinct()
     )
-    touched = old_labels.join(bc(edge_urls), "url", "left_semi")
+    # persist the affected-only frames: each is consumed by MULTIPLE
+    # downstream broadcast sites (relabel semi, untouched anti,
+    # clusters keep anti), and without the persist every site's
+    # broadcast build re-runs the O(labels) semi-join scan serially —
+    # the same flat driver-side cost the key-set prep removes upstream
+    cached: list[DataFrame] = []
+    touched = old_labels.join(bc(edge_urls), "url", "left_semi").persist()
+    cached.append(touched)
     # seed edge (member -> its old cluster_id): label space == node
     # space because cluster_id is the component's min url, so CC over
     # new edges + seeds reconnects every affected old cluster — and
@@ -386,7 +454,8 @@ def run_incremental(
         max_iters=cfg.cc_max_iters,
         checkpoint_every=cfg.cc_checkpoint_every,
     ).localCheckpoint()  # small (affected-only); reused four times below
-    affected_old_ids = touched.select("cluster_id").distinct()
+    affected_old_ids = touched.select("cluster_id").distinct().persist()
+    cached.append(affected_old_ids)
     # every member of an affected old cluster takes its cluster_id's
     # NEW label (the old id participates as a node in `partial`)
     id_map = partial.select(
@@ -416,7 +485,9 @@ def run_incremental(
     def build_clusters_inc() -> DataFrame:
         old_clusters = store.read(spark, "clusters")
         new_ids = partial.select("cluster_id").distinct()
-        sub_labels = labels.join(bc(new_ids), "cluster_id", "left_semi")
+        # consumed three times below (rebuild, pair semi key, keep anti)
+        sub_labels = labels.join(bc(new_ids), "cluster_id", "left_semi").persist()
+        cached.append(sub_labels)
         # drop stale rows by cluster id AND by member url: in crash
         # recovery after the labels commit, `old_labels` already holds
         # final ids, so a merged-AWAY old cluster's id is not in
@@ -437,6 +508,11 @@ def run_incremental(
     clusters = build_clusters_inc()
     timed("clusters", lambda: store.commit("clusters", clusters, extra=stamp))
     clusters = store.read(spark, "clusters")
+
+    # release every frame this ingest pinned (results below read from
+    # committed parquet, not from these caches)
+    for df in (*prepped.values(), *cached):
+        df.unpersist()
 
     return PipelineResult(
         clusters=clusters,

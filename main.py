@@ -242,10 +242,20 @@ def cmd_ingest(args) -> None:
     pages = read_pages(spark, args.input)
     store = StageStore(args.store)
     t0 = time.time()
-    res = run_incremental(
-        spark, pages, store, DedupConfig(),
-        use_extracted=True, lcs_check=not args.no_lcs,
-    )
+    from epstein_pipeline_spark.plans.checkpoint import CommitConflictError
+
+    try:
+        res = run_incremental(
+            spark, pages, store, DedupConfig(),
+            use_extracted=True, lcs_check=not args.no_lcs,
+        )
+    except CommitConflictError as e:
+        # optimistic-concurrency loser (another ingest committed to
+        # this store first): exit with the Iceberg-style message
+        # instead of a traceback; rerunning folds in the remaining
+        # delta against the new head (the resume anti-join + freshness
+        # rule make the retry exact)
+        raise SystemExit(f"ingest commit conflict: {e}\nrerun to retry") from e
     write_clusters(res.clusters, args.output)
     print(
         json.dumps(

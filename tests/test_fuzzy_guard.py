@@ -122,6 +122,44 @@ def test_salted_block_join_under_cap_exact(spark):
     assert got == want
 
 
+def test_salted_block_join_divergence_contract(spark):
+    """The guard AT its divergence scale (blocks > cap — the regime
+    the customer_fuzzy oracle-scope comment documents as sf >= ~0.34
+    but which no test had ever executed): the degradation contract is
+    (1) guarded pairs ⊆ exact all-pairs, (2) every surviving pair
+    carries the IDENTICAL score the exact join computes for it (the
+    guard drops pairs, never corrupts them), (3) emission is O(n*cap)
+    within-sub pairs, and (4) cross-sub pairs really are dropped —
+    the documented, deliberate divergence."""
+    cap, n = 25, 400  # one block 16x the cap
+    rows = [(i, f"name{i:04d}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, name string").withColumn(
+        "blk", F.lit("hot")
+    )
+    got = {
+        (r["a"]["id"], r["b"]["id"]): r["lev"]
+        for r in salted_block_join(df, "blk", ["id", "name"], cap)
+        .withColumn("lev", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .collect()
+    }
+    exact = {
+        (r["id1"], r["id2"]): r["lev"]
+        for r in df.alias("x")
+        .join(df.alias("y"), "blk")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.levenshtein(F.col("x.name"), F.col("y.name")).alias("lev"),
+        )
+        .collect()
+    }
+    assert set(got) <= set(exact)                      # never invents pairs
+    assert all(exact[k] == v for k, v in got.items())  # identical scores
+    assert 0 < len(got) <= n * cap                     # O(n*cap) emission
+    assert len(got) < len(exact)                       # divergence occurred
+
+
 def test_salted_block_join_shuffle_path_matches_broadcast(spark):
     """broadcast_max_blocks=0 forces the shuffled sizes join (the
     web-scale-cardinality fallback, r3 verdict): pair sets must be

@@ -1,0 +1,51 @@
+"""Golden result checksums for the rows-only (non-SQL-expressible)
+dedup queries.
+
+``minhash_dedup_planted`` / ``simhash_dedup_planted`` /
+``dedup_clusters_planted`` / ``rhp_cosine_pairs`` have no DuckDB
+oracle (128-perm MinHash signatures, SimHash bands, RHP-LSH
+candidates, the approximate flagship clusters) — the driver records
+row counts only, so a regression that SWAPS pairs at equal count was
+invisible to CORRECTNESS. The corpus (synth at fixed seed + sf0.01
+parquet) and the signature scheme (datasketch-parity a*h+b mod 2^61-1,
+pinned — the north rule requires the reference's signature config) are
+fully deterministic, so the sorted result set is stable and its sha256
+can be pinned.
+
+Pinned values regenerated via ``python scripts/golden_checksums.py``
+— ONLY legitimate when a deliberate, documented change to the
+signature scheme / planted corpus / query projection changes the
+result set; a surprise mismatch is a correctness regression.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from epstein_pipeline_spark.functions.checksum import result_checksum
+
+SF = "/root/testdata/sf0.01"
+
+GOLDEN = {
+    "minhash_dedup_planted": "PENDING",
+    "simhash_dedup_planted": "PENDING",
+    "dedup_clusters_planted": "PENDING",
+    "rhp_cosine_pairs": "PENDING",
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_checksum(spark, name):
+    if not os.path.isdir(SF):
+        pytest.skip(f"{SF} not present")
+    from epstein_pipeline_spark.entry_queries import QUERIES
+
+    got = result_checksum(QUERIES[name](spark, SF))
+    assert got == GOLDEN[name], (
+        f"{name}: result-set checksum changed ({got} != {GOLDEN[name]}). "
+        "If this follows a DELIBERATE signature-scheme/corpus/query "
+        "change, regenerate via scripts/golden_checksums.py and record "
+        "why; otherwise a dedup regression swapped pairs at equal count."
+    )

@@ -47,6 +47,14 @@ def test_incremental_matches_full_run(spark, pages, tmp_path):
     assert _partition(full.labels) == _partition(inc.labels)
     assert _cluster_partition(full.clusters) == _cluster_partition(inc.clusters)
     assert inc.docs_in == pages.count()
+    # honest stage reporting: the exact/simhash/lcs builders only
+    # DECLARE plans in the ingest (execution lands in the `pairs`
+    # append) — their timer keys must say so, and the executed-stage
+    # keys must not carry the label
+    plan_only = {k for k in inc.stage_seconds if k.endswith("(plan)")}
+    assert plan_only == {"pairs_exact(plan)", "pairs_simhash(plan)", "pairs_lcs(plan)"}
+    for executed in ("extract", "signatures", "minhash_candidates", "pairs", "labels"):
+        assert executed in inc.stage_seconds
 
 
 def test_incremental_bridge_merges_two_base_clusters(spark, tmp_path):

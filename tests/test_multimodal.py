@@ -147,3 +147,110 @@ def test_undecodable_image_raises_at_the_plug_point(spark):
     )
     with pytest.raises(Exception, match="BMP|PPM|PIL|Unsupported"):
         extract_features(media, dim=8, decode_stub="decode").collect()
+
+
+# ---- audio: RIFF/PCM WAV codec (functions/audiocodec.py) ----------------
+
+
+def test_wav_roundtrip_pcm16():
+    from epstein_pipeline_spark.functions.audiocodec import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    orig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                     0.25 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    out, rate = decode_wav(encode_wav(orig, 8000))
+    assert rate == 8000 and out.shape == (800, 2)
+    # PCM16 quantization bound: half an LSB of full scale
+    assert np.abs(out - orig).max() <= 1.0 / 32767
+
+
+def test_wav_chunk_walk_skips_list_and_fact():
+    """Real encoder output often carries LIST/fact chunks between fmt
+    and data; the parser must walk chunks (word-aligned), not assume a
+    fixed 44-byte header."""
+    import struct
+
+    from epstein_pipeline_spark.functions.audiocodec import decode_wav, encode_wav
+
+    canonical = encode_wav(np.linspace(-0.5, 0.5, 101)[:, None], 16000)
+    fmt = canonical[12:36]          # "fmt " chunk (8 + 16 bytes)
+    data = canonical[36:]           # "data" chunk onward
+    info = b"INFOxyz"               # odd size -> exercises word alignment
+    body = b"WAVE" + fmt + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00" + data
+    crafted = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = decode_wav(crafted)
+    ref, _ = decode_wav(canonical)
+    assert rate == 16000 and np.array_equal(out, ref)
+
+
+def test_wav_pcm8_decode():
+    import struct
+
+    from epstein_pipeline_spark.functions.audiocodec import decode_wav
+
+    pcm8 = bytes([0, 128, 255, 64])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
+    out, rate = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000
+    assert np.allclose(out[:, 0], [(0 - 128) / 128, 0.0, 127 / 128, (64 - 128) / 128])
+
+
+def test_undecodable_audio_raises_at_the_plug_point():
+    import struct
+
+    from epstein_pipeline_spark.functions.audiocodec import (
+        UnsupportedAudioError,
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(UnsupportedAudioError):
+        decode_wav(b"ID3\x03" + b"\x00" * 60)  # mp3
+    # float WAV (format tag 3): valid RIFF, unsupported encoding
+    good = bytearray(encode_wav(np.zeros(10)[:, None], 8000))
+    struct.pack_into("<H", good, 20, 3)
+    with pytest.raises(UnsupportedAudioError):
+        decode_wav(bytes(good))
+
+
+def test_real_audio_decode_feature_matches_planted_sine(spark):
+    """decode->feature on REAL sample bytes: the distributed feature
+    for a planted pure sine equals the locally-computed audio_feature
+    of the decoded samples, and its rms slot matches amp/sqrt(2)."""
+    from epstein_pipeline_spark.functions.audiocodec import audio_feature, decode_wav
+    from epstein_pipeline_spark.operators.multimodal import synth_wav_media
+
+    media = synth_wav_media(spark, n=8)
+    rows = {r["media_id"]: r for r in extract_features(
+        media, dim=32, decode_stub="decode").collect()}
+    assert len(rows) == 8
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for i, (mid, wav) in enumerate(sorted(raw.items())):
+        got = np.array(rows[mid]["feature"], dtype=np.float32)
+        expect = audio_feature(*decode_wav(wav), 32)
+        assert np.allclose(got, expect, atol=1e-6), mid
+        # un-normalize: base[0] is rms, planted sine rms = amp/sqrt(2)
+        samples, rate = decode_wav(wav)
+        amp = 0.2 + 0.05 * (i % 10)
+        rms = float(np.sqrt(np.mean(samples.mean(axis=1) ** 2)))
+        assert abs(rms - amp / np.sqrt(2)) < 2e-3, mid
+
+
+def test_mixed_media_decode_routes_by_kind(spark):
+    """One batch mixing image/audio/video rows through 'decode': image
+    rows hit the BMP codec, audio rows the WAV codec, video rows the
+    deterministic stub — same mapInPandas pass."""
+    from epstein_pipeline_spark.operators.multimodal import (
+        synth_bmp_media,
+        synth_wav_media,
+    )
+
+    mixed = synth_bmp_media(spark, n=3).unionByName(
+        synth_wav_media(spark, n=3)
+    ).unionByName(synth_media(spark, n=3).filter("kind = 'video'"))
+    rows = extract_features(mixed, dim=16, decode_stub="decode").collect()
+    kinds = sorted(r["kind"] for r in rows)
+    assert kinds.count("image") == 3 and kinds.count("audio") == 3
+    assert all(abs(np.linalg.norm(np.array(r["feature"])) - 1.0) < 1e-5 for r in rows)
