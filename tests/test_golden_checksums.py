@@ -29,10 +29,10 @@ from epstein_pipeline_spark.functions.checksum import result_checksum
 SF = "/root/testdata/sf0.01"
 
 GOLDEN = {
-    "minhash_dedup_planted": "PENDING",
-    "simhash_dedup_planted": "PENDING",
-    "dedup_clusters_planted": "PENDING",
-    "rhp_cosine_pairs": "PENDING",
+    "minhash_dedup_planted": "51b72dd8f6d8b786698c62ea5c2677f3b720f3b4847daa07da864d7c9f64e7c5",
+    "simhash_dedup_planted": "6427c096b418331f38a5afcb26766972cf29760a0ac146cbfc01541d9db61a28",
+    "dedup_clusters_planted": "56351b1432ffa5ad5caae715a65e149acc2f9d34b27524da5136efdf5e6bcd2f",
+    "rhp_cosine_pairs": "76f930c26d7e07113a1ab5e8d49d15d6cd5050a9fe0d71a9274815698505666f",
 }
 
 
