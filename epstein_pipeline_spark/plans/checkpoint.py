@@ -368,13 +368,43 @@ class StageStore:
         carried = {
             k: m[k] for k in ("for_extract_snapshot", "delta_rows") if k in m
         }
-        return self.commit(
+        if stage == "extract":
+            # after compaction the stage's single snapshot IS the whole
+            # corpus — a recovery path that treats the last snapshot as
+            # an in-flight delta must see its true size, not the old
+            # delta's (the broadcast gate keys on delta_rows)
+            carried.pop("delta_rows", None)
+        new_m = self.commit(
             stage,
             self.read(spark, stage),
             m.get("counters"),
             extra=carried or None,
             expected_parent=m["snapshot"],
         )
+        if stage == "extract":
+            # compacting extract REWRITES the snapshot id every
+            # downstream freshness pointer references (the manifest's
+            # `snapshot` is the last appended delta's id — exactly what
+            # run_dedup/run_incremental stamped downstream as
+            # for_extract_snapshot). Remap pointers that matched the
+            # old head to the new id, or the next ingest misclassifies
+            # every downstream stage as a crashed ingest and re-folds
+            # the entire compacted corpus as a delta (measured on the
+            # CLI drive: duplicate pair evidence appended, 472 -> 944
+            # rows at 613 docs).
+            old_head, new_head = m["snapshot"], new_m["snapshot"]
+            for sdir in sorted(self.root.iterdir()):
+                st = sdir.name
+                if st.startswith("_") or st == stage or not sdir.is_dir():
+                    continue
+                om = self.latest(st)
+                if om is not None and om.get("for_extract_snapshot") == old_head:
+                    self._publish(
+                        st,
+                        dict(om, for_extract_snapshot=new_head),
+                        expected_parent=om["snapshot"],
+                    )
+        return new_m
 
     def expire_snapshots(self, stage: str) -> list[str]:
         """Delete snapshot directories no longer referenced by the

@@ -88,7 +88,17 @@ def cmd_compact(args) -> None:
         if chained:
             store.compact(spark, st)
         done[st] = "compacted" if chained else "single-snapshot"
-    print(json.dumps({"stages": done, "seconds": round(time.time() - t0, 2)}))
+    out = {"stages": done, "seconds": round(time.time() - t0, 2)}
+    if args.expire:
+        # Iceberg expire_snapshots analog: drop snapshot dirs the
+        # CURRENT manifests no longer reference — old append-chain
+        # segments plus any orphan a conflict-losing or crashed writer
+        # left behind. Only safe once no reader can hold an old
+        # manifest, which is why it is an explicit flag, not a default.
+        out["expired"] = {
+            st: len(store.expire_snapshots(st)) for st in stages
+        }
+    print(json.dumps(out))
 
 
 def cmd_lineage(args) -> None:
@@ -332,6 +342,11 @@ def main(argv: list[str] | None = None) -> None:
     d.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("compact", help="rewrite a store's append chains into single snapshots")
+    c.add_argument(
+        "--expire",
+        action="store_true",
+        help="afterwards delete unreferenced snapshot dirs (expire_snapshots)",
+    )
     c.add_argument("--store", required=True)
     c.add_argument("--stages", default=None, help="comma-separated; default: all chained stages")
     c.set_defaults(fn=cmd_compact)

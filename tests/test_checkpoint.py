@@ -170,3 +170,40 @@ def test_expire_snapshots_root_spelling_invariant(spark, tmp_path):
     store2 = StageStore(respelled)
     assert store2.expire_snapshots("t") == []
     assert store2.read(spark, "t").count() == 15
+
+
+def test_conflict_orphan_snapshot_expired(spark, tmp_path):
+    """A conflict-losing writer leaves its written-but-unpublished
+    snapshot dir on disk (its id was reserved, its manifest never
+    published). expire_snapshots — the maintenance path — removes
+    exactly that orphan and nothing referenced."""
+    import pytest
+
+    from epstein_pipeline_spark.plans.checkpoint import CommitConflictError
+
+    store = StageStore(tmp_path)
+    store.commit("s", spark.range(10))
+    other = StageStore(tmp_path)
+    orig = store._write_snapshot
+    raced = {"done": False}
+
+    def write_and_race(stage, df, counters):
+        m = orig(stage, df, counters)
+        if not raced["done"]:
+            raced["done"] = True
+            other.commit("s", spark.range(7))
+        return m
+
+    store._write_snapshot = write_and_race
+    with pytest.raises(CommitConflictError):
+        store.append("s", spark.range(5))
+    store._write_snapshot = orig
+
+    dirs_before = {p.name for p in (tmp_path / "s").glob("snapshot-*")}
+    removed = store.expire_snapshots("s")
+    # loser's orphan + the superseded snapshot-0 go; winner's stays
+    assert len(removed) == 2
+    m = store.latest("s")
+    kept = {p.name for p in (tmp_path / "s").glob("snapshot-*")}
+    assert kept == {m["path"].rsplit("/", 1)[-1]} and len(dirs_before) == 3
+    assert store.read(spark, "s").count() == 7

@@ -469,3 +469,36 @@ def test_freshness_rule_survives_backwards_clock_step(spark, pages, tmp_path):
     assert inc.stage_seconds["minhash_candidates"] > 0.0
     assert _partition(full.labels) == _partition(inc.labels)
     assert _cluster_partition(full.clusters) == _cluster_partition(inc.clusters)
+
+
+def test_reingest_after_full_compaction_is_a_noop(spark, pages, tmp_path):
+    """Compacting a store (INCLUDING extract — which rewrites the
+    snapshot id every downstream freshness pointer references) must
+    not make the next ingest misclassify completed work: re-ingesting
+    the same pages after `compact` of every chained stage is a no-op —
+    no re-folded delta, no duplicate pair evidence appended. Caught
+    live on the CLI drive: without the pointer remap, pairs doubled
+    472 -> 944 at constant docs/clusters."""
+    is_delta = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    store = StageStore(tmp_path / "s")
+    cfg = DedupConfig()
+    run_dedup(spark, pages.filter(~is_delta), store, cfg)
+    run_incremental(spark, pages.filter(is_delta), store, cfg)
+    pairs_before = store.read(spark, "pairs").count()
+    sig_snap_before = store.latest("signatures")["snapshot"]
+
+    # the CLI's compact loop: every chained stage, extract included
+    import os
+
+    for st in sorted(os.listdir(tmp_path / "s")):
+        if not st.startswith("_") and store.has(st):
+            store.compact(spark, st)
+
+    inc = run_incremental(spark, pages, store, cfg)
+    assert store.read(spark, "pairs").count() == pairs_before
+    assert store.latest("signatures")["snapshot"] != sig_snap_before  # compacted...
+    assert len(store.latest("signatures").get("paths", ["x"])) == 1   # ...to one
+    # the empty-delta fast path: nothing recomputed
+    assert inc.stage_seconds.get("extract", 0.0) == 0.0
+    assert "signatures" not in inc.stage_seconds or inc.stage_seconds["signatures"] == 0.0
+    assert inc.docs_in == pages.count()

@@ -254,3 +254,29 @@ def test_mixed_media_decode_routes_by_kind(spark):
     kinds = sorted(r["kind"] for r in rows)
     assert kinds.count("image") == 3 and kinds.count("audio") == 3
     assert all(abs(np.linalg.norm(np.array(r["feature"])) - 1.0) < 1e-5 for r in rows)
+
+
+def test_wav_roundtrip_hypothesis():
+    """Property: encode->decode is the identity up to PCM16
+    quantization for ANY float signal in [-1, 1], any channel count,
+    any rate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epstein_pipeline_spark.functions.audiocodec import decode_wav, encode_wav
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=1, max_size=64),
+        st.integers(min_value=1, max_value=4),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(vals, n_ch, rate):
+        sig = np.tile(np.array(vals)[:, None], (1, n_ch))
+        out, r = decode_wav(encode_wav(sig, rate))
+        assert r == rate and out.shape == sig.shape
+        # encode scales by 32767, decode divides by 32768 (the int16
+        # asymmetry): error <= (rounding 0.5 + scale bias |x|) / 32768
+        assert np.abs(out - sig).max() <= 1.5 / 32768
+
+    check()
