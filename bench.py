@@ -48,8 +48,13 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "128000"))
 # unable to own an entire level.
 BENCH_REPEATS_LO = int(os.environ.get("BENCH_REPEATS_LO", "3"))
 # EQUAL repeats per level: an unpaired trailing run at either level
-# re-introduces the session-drift bias the lo/hi mirroring cancels
-# (mean wall-clock position of lo runs must equal that of hi runs)
+# re-introduces session-drift bias. NB at odd repeat counts the
+# lo,hi,hi,lo,... order is NOT mean-position-equal (3 repeats: lo at
+# slots {0,3,4}, hi at {1,2,5}) — that mattered for a mean estimator;
+# under min-of-N the estimate is dominated by each level's EARLIEST
+# clean run (slots 0 and 1, adjacent), and the per-stage min makes
+# residual monotone drift second-order. Mirrored pairs are kept so no
+# level systematically goes last.
 BENCH_REPEATS_HI = int(os.environ.get("BENCH_REPEATS_HI", "3"))
 # scaling pair: N vs 4N cores. 1 vs 4 keeps both runs under the
 # sandbox's shared-socket memory-bandwidth ceiling (local-mode threads

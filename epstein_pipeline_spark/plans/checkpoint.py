@@ -75,6 +75,14 @@ def _shuffle_totals(spark) -> tuple[int, int] | None:
         return None
 
 
+class PendingIngestError(RuntimeError):
+    """Raised by ``compact('extract')`` when downstream stages were not
+    computed from the current extract head — an ingest crashed or is
+    still running, and collapsing the extract chain would turn its
+    crash-recovery delta into the entire corpus (duplicate pair
+    evidence appended forever). Complete the ingest, then compact."""
+
+
 class CommitConflictError(RuntimeError):
     """Raised when a commit's parent snapshot is no longer the stage's
     current snapshot — another writer published first. Iceberg's
@@ -139,51 +147,44 @@ class StageStore:
     def _manifest_lock(self, stage: str, timeout: float = 30.0):
         """Short exclusive lock around _publish's read-check-swap (the
         only multi-step critical section; snapshot writes themselves
-        never hold it). Acquisition is an atomic ``os.link`` of a
-        pre-written pid file, so the lock always appears WITH its
-        holder recorded; locks whose holder pid is dead are stolen —
-        a writer killed mid-publish (crash matrix) must never block
-        recovery. Local-FS only by design: on a real cluster this
-        whole class is swapped for Iceberg, whose catalog provides the
-        compare-and-swap."""
+        never hold it). ``fcntl.flock`` on a persistent lock file: the
+        KERNEL owns liveness — a writer killed mid-publish (crash
+        matrix) has its lock released when the fd closes, so recovery
+        never blocks and there is no steal-by-delete race (a
+        read-pid-then-unlink steal lets two waiters who both saw a
+        dead holder unlink each other's freshly-acquired lock — the
+        exact double-entry the lock exists to prevent). The pid is
+        written into the file for DIAGNOSTICS only; it plays no role
+        in mutual exclusion. Local-FS only by design: on a real
+        cluster this whole class is swapped for Iceberg, whose catalog
+        provides the compare-and-swap."""
+        import fcntl
+
         sdir = self._stage_dir(stage)
         sdir.mkdir(parents=True, exist_ok=True)
-        lock = sdir / ".MANIFEST.lock"
-        tmp = sdir / f".lock-{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps({"pid": os.getpid(), "ts": time.time()}))
-        deadline = time.time() + timeout
+        fd = os.open(sdir / ".MANIFEST.lock", os.O_CREAT | os.O_RDWR)
         try:
+            deadline = time.time() + timeout
             while True:
                 try:
-                    os.link(tmp, lock)
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
-                except FileExistsError:
-                    try:
-                        holder = json.loads(lock.read_text()).get("pid", 0)
-                    except (OSError, ValueError):
-                        holder = 0  # holder just released; retry
-                    if holder > 0 and holder != os.getpid():
-                        try:
-                            os.kill(holder, 0)
-                        except ProcessLookupError:
-                            # dead holder: steal (missing_ok — another
-                            # waiter may steal it first)
-                            lock.unlink(missing_ok=True)
-                            continue
-                        except PermissionError:
-                            pass  # alive, not ours to signal
+                except (BlockingIOError, InterruptedError):
                     if time.time() > deadline:
+                        try:
+                            holder = os.read(fd, 256).decode(errors="replace")
+                        except OSError:
+                            holder = "?"
                         raise TimeoutError(
-                            f"manifest lock for stage '{stage}' held by "
-                            f"pid {holder} past {timeout}s"
+                            f"manifest lock for stage '{stage}' still held "
+                            f"past {timeout}s (holder info: {holder!r})"
                         )
                     time.sleep(0.05)
-            try:
-                yield
-            finally:
-                lock.unlink(missing_ok=True)
+            os.ftruncate(fd, 0)
+            os.pwrite(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(), 0)
+            yield
         finally:
-            tmp.unlink(missing_ok=True)
+            os.close(fd)  # releases the flock
 
     def _publish(
         self, stage: str, manifest: dict, expected_parent: object = "_SKIP_"
@@ -359,6 +360,34 @@ class StageStore:
         m = self.latest(stage)
         if m is None or len(m.get("paths", [m["path"]])) <= 1:
             return m or {}
+        if stage == "extract":
+            # REFUSE while an ingest is incomplete: crash recovery
+            # treats the extract chain's LAST snapshot as the in-flight
+            # delta (parent_paths[:-1] = the old corpus view), and
+            # compacting collapses the chain to one snapshot — the
+            # recovery delta would become the ENTIRE corpus and its
+            # redo would append full-corpus pair evidence onto the
+            # committed chain (permanent duplicates). Iceberg analog:
+            # maintenance actions run on a consistent table. Detection
+            # is run_incremental's OWN completion rule: `clusters`
+            # commits LAST, so clusters fresh for the extract head ==
+            # the whole ingest completed. (Checking every stamped
+            # stage would false-positive on the batch-only stages —
+            # pairs_exact/simhash/lcs — whose evidence ingests fold
+            # into `pairs` without re-stamping them.)
+            head = m["snapshot"]
+            oc = self.latest("clusters")
+            if (
+                oc is not None
+                and "for_extract_snapshot" in oc
+                and oc["for_extract_snapshot"] != head
+            ):
+                raise PendingIngestError(
+                    f"cannot compact 'extract': clusters was computed from "
+                    f"extract snapshot {oc['for_extract_snapshot']}, not the "
+                    f"current head {head} — an ingest is incomplete; run "
+                    "it to completion first"
+                )
         # carry the freshness/gating manifest keys forward: dropping
         # for_extract_snapshot would make the next ingest's id-based
         # freshness rule misclassify the compacted stage as a crashed
@@ -397,13 +426,23 @@ class StageStore:
                 st = sdir.name
                 if st.startswith("_") or st == stage or not sdir.is_dir():
                     continue
-                om = self.latest(st)
-                if om is not None and om.get("for_extract_snapshot") == old_head:
-                    self._publish(
-                        st,
-                        dict(om, for_extract_snapshot=new_head),
-                        expected_parent=om["snapshot"],
-                    )
+                # re-read + retry on conflict so a concurrent writer
+                # bumping one stage cannot abort the remap halfway and
+                # strand the remaining stages on the old head (mixed
+                # pointers re-create the full-corpus re-fold bug)
+                for _attempt in range(3):
+                    om = self.latest(st)
+                    if om is None or om.get("for_extract_snapshot") != old_head:
+                        break  # nothing to remap (or writer moved it on)
+                    try:
+                        self._publish(
+                            st,
+                            dict(om, for_extract_snapshot=new_head),
+                            expected_parent=om["snapshot"],
+                        )
+                        break
+                    except CommitConflictError:
+                        continue
         return new_m
 
     def expire_snapshots(self, stage: str) -> list[str]:

@@ -133,7 +133,32 @@ def run_incremental(
 ) -> PipelineResult:
     """Fold ``new_pages`` into a store previously built by
     ``run_dedup`` (or a prior ``run_incremental``). Returns the same
-    PipelineResult shape with updated full tables."""
+    PipelineResult shape with updated full tables.
+
+    Every frame the ingest persists (key-set prep, affected-only
+    label/cluster views) is released in a ``finally`` — a failed run
+    (commit conflict from a concurrent writer, a failed stage action)
+    must not leak pinned executor storage into the caller's session
+    for every retry."""
+    pinned: list[DataFrame] = []
+    try:
+        return _run_incremental_impl(
+            spark, new_pages, store, cfg, use_extracted, lcs_check, pinned
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
+
+
+def _run_incremental_impl(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    store: StageStore,
+    cfg: DedupConfig,
+    use_extracted: bool,
+    lcs_check: bool,
+    pinned: list[DataFrame],
+) -> PipelineResult:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
@@ -304,6 +329,7 @@ def run_incremental(
             def _materialize(item):
                 name, df = item
                 df = df.persist()
+                pinned.append(df)
                 df.count()
                 return name, df
 
@@ -438,9 +464,8 @@ def run_incremental(
     # clusters keep anti), and without the persist every site's
     # broadcast build re-runs the O(labels) semi-join scan serially —
     # the same flat driver-side cost the key-set prep removes upstream
-    cached: list[DataFrame] = []
     touched = old_labels.join(bc(edge_urls), "url", "left_semi").persist()
-    cached.append(touched)
+    pinned.append(touched)
     # seed edge (member -> its old cluster_id): label space == node
     # space because cluster_id is the component's min url, so CC over
     # new edges + seeds reconnects every affected old cluster — and
@@ -455,7 +480,7 @@ def run_incremental(
         checkpoint_every=cfg.cc_checkpoint_every,
     ).localCheckpoint()  # small (affected-only); reused four times below
     affected_old_ids = touched.select("cluster_id").distinct().persist()
-    cached.append(affected_old_ids)
+    pinned.append(affected_old_ids)
     # every member of an affected old cluster takes its cluster_id's
     # NEW label (the old id participates as a node in `partial`)
     id_map = partial.select(
@@ -487,7 +512,7 @@ def run_incremental(
         new_ids = partial.select("cluster_id").distinct()
         # consumed three times below (rebuild, pair semi key, keep anti)
         sub_labels = labels.join(bc(new_ids), "cluster_id", "left_semi").persist()
-        cached.append(sub_labels)
+        pinned.append(sub_labels)
         # drop stale rows by cluster id AND by member url: in crash
         # recovery after the labels commit, `old_labels` already holds
         # final ids, so a merged-AWAY old cluster's id is not in
@@ -508,11 +533,6 @@ def run_incremental(
     clusters = build_clusters_inc()
     timed("clusters", lambda: store.commit("clusters", clusters, extra=stamp))
     clusters = store.read(spark, "clusters")
-
-    # release every frame this ingest pinned (results below read from
-    # committed parquet, not from these caches)
-    for df in (*prepped.values(), *cached):
-        df.unpersist()
 
     return PipelineResult(
         clusters=clusters,

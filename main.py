@@ -80,13 +80,22 @@ def cmd_compact(args) -> None:
         d for d in sorted(os.listdir(args.store))
         if not d.startswith("_") and store.has(d)
     ]
+    from epstein_pipeline_spark.plans.checkpoint import PendingIngestError
+
     t0 = time.time()
     done = {}
     for st in stages:
         m = store.latest(st)
         chained = m is not None and len(m.get("paths", [m["path"]])) > 1
         if chained:
-            store.compact(spark, st)
+            try:
+                store.compact(spark, st)
+            except PendingIngestError:
+                # extract refuses while an ingest is incomplete
+                # (collapsing the chain would turn crash recovery's
+                # delta into the whole corpus); report, keep going
+                done[st] = "skipped-pending-ingest"
+                continue
         done[st] = "compacted" if chained else "single-snapshot"
     out = {"stages": done, "seconds": round(time.time() - t0, 2)}
     if args.expire:

@@ -65,6 +65,19 @@ def main() -> None:
     cfg = DedupConfig()
 
     base_dir = Path(f"/dev/shm/ingest_base_p{PAGES}_c{CORES}_d{DENOM}")
+    try:
+        out = _measure(spark, pages, base, delta, cfg, base_dir, n_base, n_delta)
+    finally:
+        # RAM-backed store: never leak it past a crashed/interrupted
+        # sitting (repeated failed runs with different params would
+        # accumulate until /dev/shm ENOSPC fails later benches)
+        if not KEEP_BASE:
+            shutil.rmtree(base_dir, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _measure(spark, pages, base, delta, cfg, base_dir, n_base, n_delta) -> dict:
     t_base = None
     if not (base_dir / "clusters" / "MANIFEST.json").exists():
         shutil.rmtree(base_dir, ignore_errors=True)
@@ -115,9 +128,6 @@ def main() -> None:
 
             same = sig(full.labels) == sig(inc.labels)
 
-    if not KEEP_BASE:
-        shutil.rmtree(base_dir, ignore_errors=True)
-
     out = {
         "n_base": n_base,
         "n_delta": n_delta,
@@ -132,8 +142,7 @@ def main() -> None:
         out["seconds_full_rededup"] = round(t_full, 1)
         out["ingest_speedup_vs_full"] = round(t_full / t_ingest, 1)
         out["cluster_size_histogram_equal"] = same
-    print(json.dumps(out))
-    spark.stop()
+    return out
 
 
 if __name__ == "__main__":

@@ -128,18 +128,30 @@ def test_concurrent_snapshot_ids_never_collide(spark, tmp_path):
     assert m["snapshot"] == 2  # skipped the reserved id
 
 
-def test_dead_writer_lock_is_stolen(spark, tmp_path):
-    """A writer killed mid-publish leaves its manifest lock behind;
-    the next writer steals it (dead pid) instead of deadlocking —
-    the crash-matrix recovery contract."""
+def test_dead_writer_lock_never_blocks(spark, tmp_path):
+    """A writer killed mid-publish leaves its lock FILE behind but the
+    kernel released its flock with the process — the next writer
+    acquires immediately instead of deadlocking (crash-matrix
+    recovery contract). A LIVE holder, by contrast, blocks a second
+    acquirer until release (flock mutual exclusion, in-file pid is
+    diagnostics only)."""
     import json as _json
 
     store = StageStore(tmp_path)
     store.commit("s", spark.range(2))
     lock = store._stage_dir("s") / ".MANIFEST.lock"
+    # dead-writer residue: file exists, nobody holds the flock
     lock.write_text(_json.dumps({"pid": 2**22 + 12345, "ts": 0.0}))
     m = store.commit("s", spark.range(6))  # must not block or raise
-    assert m["rows"] == 6 and not lock.exists()
+    assert m["rows"] == 6
+
+    # live holder: a second publish times out instead of double-entering
+    import pytest
+
+    with store._manifest_lock("s"):
+        with pytest.raises(TimeoutError):
+            with store._manifest_lock("s", timeout=0.3):
+                pass
 
 
 def test_compact_carries_freshness_keys(spark, tmp_path):

@@ -502,3 +502,46 @@ def test_reingest_after_full_compaction_is_a_noop(spark, pages, tmp_path):
     assert inc.stage_seconds.get("extract", 0.0) == 0.0
     assert "signatures" not in inc.stage_seconds or inc.stage_seconds["signatures"] == 0.0
     assert inc.docs_in == pages.count()
+
+
+def test_compact_extract_refuses_pending_ingest(spark, tmp_path):
+    """Compacting extract while an ingest is incomplete would turn the
+    crash-recovery delta (extract chain's last snapshot) into the
+    ENTIRE corpus; compact must refuse until the ingest completes."""
+    from epstein_pipeline_spark.plans.checkpoint import PendingIngestError
+
+    t1 = " ".join(f"w{i}" for i in range(120))
+    base = spark.createDataFrame([("u1", t1), ("u2", t1 + " t")],
+                                 "url string, text string").select(
+        "url", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    store = StageStore(tmp_path / "s")
+    run_dedup(spark, base, store, DedupConfig(), use_extracted=False)
+
+    # crashed ingest: the delta's extract append landed, downstream not
+    delta = spark.createDataFrame([("z1", " ".join(f"q{i}" for i in range(150)))],
+                                  "url string, text string").select(
+        "url", F.lit("2024-01-02 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"), "text",
+    )
+    from epstein_pipeline_spark.functions.text import (
+        content_hash_expr,
+        normalize_text_expr,
+    )
+
+    docs_delta = delta.select(
+        "url", "warc_ts", "lang",
+        F.col("text").alias("extracted_text"),
+        normalize_text_expr("text").alias("text"),
+    ).withColumn("content_hash", content_hash_expr("text"))
+    store.append("extract", docs_delta)
+
+    with pytest.raises(PendingIngestError):
+        store.compact(spark, "extract")
+
+    # completing the pending ingest (empty new batch triggers the
+    # recovery branch) makes compaction legal again
+    run_incremental(spark, delta.limit(0), store, DedupConfig(), use_extracted=False)
+    m = store.compact(spark, "extract")
+    assert len(m.get("paths", [m["path"]])) == 1
