@@ -360,33 +360,35 @@ class StageStore:
         m = self.latest(stage)
         if m is None or len(m.get("paths", [m["path"]])) <= 1:
             return m or {}
-        if stage == "extract":
-            # REFUSE while an ingest is incomplete: crash recovery
-            # treats the extract chain's LAST snapshot as the in-flight
-            # delta (parent_paths[:-1] = the old corpus view), and
-            # compacting collapses the chain to one snapshot — the
-            # recovery delta would become the ENTIRE corpus and its
-            # redo would append full-corpus pair evidence onto the
-            # committed chain (permanent duplicates). Iceberg analog:
-            # maintenance actions run on a consistent table. Detection
-            # is run_incremental's OWN completion rule: `clusters`
-            # commits LAST, so clusters fresh for the extract head ==
-            # the whole ingest completed. (Checking every stamped
-            # stage would false-positive on the batch-only stages —
-            # pairs_exact/simhash/lcs — whose evidence ingests fold
-            # into `pairs` without re-stamping them.)
-            head = m["snapshot"]
+        # REFUSE compaction of ANY chained stage while an ingest is
+        # incomplete: the append chains ARE the recovery structure —
+        # crash recovery treats each stage's LAST snapshot (m["path"])
+        # as the in-flight delta and parent_paths[:-1] as the old
+        # corpus view. Collapsing any of them mid-ingest turns the
+        # recovery delta into the whole corpus / the whole signature
+        # table (reproduced: compacting `signatures` mid-pending-ingest
+        # duplicated base-base pair evidence the same way the extract
+        # case did). Iceberg analog: maintenance actions run on a
+        # consistent table. Detection is run_incremental's OWN
+        # completion rule: `clusters` commits LAST, so clusters fresh
+        # for the extract head == the whole ingest completed. Applies
+        # only to pipeline stores (an `extract` stage exists); a
+        # missing/unstamped clusters on such a store means UNKNOWN —
+        # refuse, and point at the remedy (an empty-delta ingest run
+        # completes + re-stamps the store, after which compaction is
+        # legal).
+        mex = self.latest("extract")
+        if mex is not None:
+            head = mex["snapshot"]
             oc = self.latest("clusters")
-            if (
-                oc is not None
-                and "for_extract_snapshot" in oc
-                and oc["for_extract_snapshot"] != head
-            ):
+            if oc is None or oc.get("for_extract_snapshot") != head:
+                got = (oc or {}).get("for_extract_snapshot")
                 raise PendingIngestError(
-                    f"cannot compact 'extract': clusters was computed from "
-                    f"extract snapshot {oc['for_extract_snapshot']}, not the "
-                    f"current head {head} — an ingest is incomplete; run "
-                    "it to completion first"
+                    f"cannot compact '{stage}': clusters was computed from "
+                    f"extract snapshot {got}, not the current head {head} — "
+                    "an ingest is incomplete (or the store predates "
+                    "freshness stamping); run `ingest` to completion "
+                    "(an empty new batch suffices) before compacting"
                 )
         # carry the freshness/gating manifest keys forward: dropping
         # for_extract_snapshot would make the next ingest's id-based
@@ -397,52 +399,70 @@ class StageStore:
         carried = {
             k: m[k] for k in ("for_extract_snapshot", "delta_rows") if k in m
         }
-        if stage == "extract":
-            # after compaction the stage's single snapshot IS the whole
-            # corpus — a recovery path that treats the last snapshot as
-            # an in-flight delta must see its true size, not the old
-            # delta's (the broadcast gate keys on delta_rows)
-            carried.pop("delta_rows", None)
-        new_m = self.commit(
-            stage,
-            self.read(spark, stage),
-            m.get("counters"),
-            extra=carried or None,
-            expected_parent=m["snapshot"],
-        )
-        if stage == "extract":
-            # compacting extract REWRITES the snapshot id every
-            # downstream freshness pointer references (the manifest's
-            # `snapshot` is the last appended delta's id — exactly what
-            # run_dedup/run_incremental stamped downstream as
-            # for_extract_snapshot). Remap pointers that matched the
-            # old head to the new id, or the next ingest misclassifies
-            # every downstream stage as a crashed ingest and re-folds
-            # the entire compacted corpus as a delta (measured on the
-            # CLI drive: duplicate pair evidence appended, 472 -> 944
-            # rows at 613 docs).
-            old_head, new_head = m["snapshot"], new_m["snapshot"]
-            for sdir in sorted(self.root.iterdir()):
-                st = sdir.name
-                if st.startswith("_") or st == stage or not sdir.is_dir():
-                    continue
-                # re-read + retry on conflict so a concurrent writer
-                # bumping one stage cannot abort the remap halfway and
-                # strand the remaining stages on the old head (mixed
-                # pointers re-create the full-corpus re-fold bug)
-                for _attempt in range(3):
-                    om = self.latest(st)
-                    if om is None or om.get("for_extract_snapshot") != old_head:
-                        break  # nothing to remap (or writer moved it on)
-                    try:
-                        self._publish(
-                            st,
-                            dict(om, for_extract_snapshot=new_head),
-                            expected_parent=om["snapshot"],
+        if stage != "extract":
+            return self.commit(
+                stage,
+                self.read(spark, stage),
+                m.get("counters"),
+                extra=carried or None,
+                expected_parent=m["snapshot"],
+            )
+
+        # extract: compaction REWRITES the snapshot id every downstream
+        # freshness pointer references (the manifest's `snapshot` is
+        # the last appended delta's id — exactly what run_dedup /
+        # run_incremental stamped downstream as for_extract_snapshot),
+        # so downstream pointers are REMAPPED old_head -> new_head —
+        # otherwise the next ingest misclassifies every downstream
+        # stage as a crashed ingest and re-folds the entire compacted
+        # corpus as a delta (measured on the CLI drive: duplicate pair
+        # evidence appended, 472 -> 944 rows at 613 docs).
+        #
+        # ORDER: snapshot write -> remap -> publish. A crash (or a
+        # persistent remap conflict) BEFORE the publish leaves the old
+        # extract chain intact with some pointers naming a
+        # not-yet-existing head — the next ingest simply sees clusters
+        # stale and runs the pending-completion recovery against the
+        # real last delta, re-stamping the pointers: consistent, just
+        # re-done work. The reverse order (publish, then remap) would
+        # strand a COLLAPSED chain with stale pointers — the
+        # full-corpus re-fold with no recovery.
+        carried.pop("delta_rows", None)  # the single snapshot IS the
+        # whole corpus; a recovery path sizing the "delta" off it must
+        # see its true magnitude (the broadcast gate keys on delta_rows)
+        new_m = self._write_snapshot(stage, self.read(spark, stage), m.get("counters"))
+        if carried:
+            new_m = dict(new_m, **carried)
+        old_head, new_head = m["snapshot"], new_m["snapshot"]
+        for sdir in sorted(self.root.iterdir()):
+            st = sdir.name
+            if st.startswith("_") or st == stage or not sdir.is_dir():
+                continue
+            # re-read + retry on conflict (a concurrent writer bumping
+            # the stage); exhausting retries RAISES — a silent partial
+            # remap would publish a collapsed chain with mixed pointers
+            deadline = time.time() + 10.0
+            while True:
+                om = self.latest(st)
+                if om is None or om.get("for_extract_snapshot") != old_head:
+                    break  # nothing to remap (or writer moved it on)
+                try:
+                    self._publish(
+                        st,
+                        dict(om, for_extract_snapshot=new_head),
+                        expected_parent=om["snapshot"],
+                    )
+                    break
+                except CommitConflictError:
+                    if time.time() > deadline:
+                        raise CommitConflictError(
+                            f"compact('extract'): could not remap stage "
+                            f"'{st}' off old head {old_head} (concurrent "
+                            "writer kept bumping it); extract chain left "
+                            "UNCHANGED — rerun compact when the store is "
+                            "quiescent"
                         )
-                        break
-                    except CommitConflictError:
-                        continue
+        self._publish(stage, new_m, expected_parent=old_head)
         return new_m
 
     def expire_snapshots(self, stage: str) -> list[str]:

@@ -47,6 +47,7 @@ partition may not).
 
 from __future__ import annotations
 
+import contextlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,7 +148,11 @@ def run_incremental(
         )
     finally:
         for df in pinned:
-            df.unpersist()
+            # guarded: a dead context (executor OOM, dropped gateway)
+            # must not raise here and MASK the root-cause exception the
+            # caller needs, nor skip the remaining frames
+            with contextlib.suppress(Exception):
+                df.unpersist()
 
 
 def _run_incremental_impl(

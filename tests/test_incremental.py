@@ -535,13 +535,30 @@ def test_compact_extract_refuses_pending_ingest(spark, tmp_path):
         F.col("text").alias("extracted_text"),
         normalize_text_expr("text").alias("text"),
     ).withColumn("content_hash", content_hash_expr("text"))
-    store.append("extract", docs_delta)
+    m_ex = store.append("extract", docs_delta)
+    # ...and the crash also landed after the signatures append (the
+    # chain now encodes recovery structure for BOTH stages)
+    from epstein_pipeline_spark.plans.incremental import _delta_signatures
+
+    store.append(
+        "signatures",
+        _delta_signatures(spark, spark.read.parquet(m_ex["path"]), DedupConfig()),
+        extra={"for_extract_snapshot": m_ex["snapshot"]},
+    )
 
     with pytest.raises(PendingIngestError):
         store.compact(spark, "extract")
+    # the guard is store-wide, not extract-only: the append chains ARE
+    # the recovery structure, and compacting `signatures` mid-pending
+    # reproduced the same duplicate-pair-evidence corruption (2nd
+    # review pass, verified live)
+    with pytest.raises(PendingIngestError):
+        store.compact(spark, "signatures")
 
     # completing the pending ingest (empty new batch triggers the
     # recovery branch) makes compaction legal again
     run_incremental(spark, delta.limit(0), store, DedupConfig(), use_extracted=False)
+    ms = store.compact(spark, "signatures")
+    assert len(ms.get("paths", [ms["path"]])) == 1
     m = store.compact(spark, "extract")
     assert len(m.get("paths", [m["path"]])) == 1
