@@ -1511,6 +1511,225 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination — the training-data-pipeline staple
+    (flag training docs that share any 8-token gram with a benchmark
+    set, per the n-gram-overlap rule used by large-LM data curation).
+    The benchmark here is derived deterministically INSIDE the query
+    (the exact_dup_pairs planting trick): every doc_id % 11 == 0 doc
+    contributes a 15-token excerpt (tokens 4..18), standing in for a
+    benchmark item that quotes web text. Output: one row per
+    contaminated training doc with hit counts.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (thousands of eval items vs 10^12 pages), so it is BROADCAST and
+    the corpus-side explode never shuffles — the plan is a map-side
+    semi-ish join + one groupBy on doc_id. With a benchmark too big to
+    broadcast, the same query degrades gracefully to a shuffled join
+    on the gram key."""
+    d = _docs(spark, sf).withColumn("toks", F.split(_norm("text"), " "))
+    grams_of = lambda col: F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(col) - F.lit(7), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(col, i, 8)),
+        )
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("ex", F.slice("toks", 4, 15))
+        .select(F.explode(grams_of(F.col("ex"))).alias("g"))
+        .distinct()
+    )
+    train = d.select(
+        "doc_id",
+        F.size(grams_of(F.col("toks"))).alias("n_grams"),
+        F.explode(grams_of(F.col("toks"))).alias("g"),
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_hits"))  # grams pre-distinct per doc
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_grams",
+            F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("contaminated_frac"),
+        )
+    )
+
+
+O_DECONTAMINATE = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 7, 1)),
+           i -> array_to_string(toks[i:i+7], ' '))) AS grams
+  FROM d
+), bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks[4:18]) - 7, 1)),
+           i -> array_to_string((toks[4:18])[i:i+7], ' ')))) AS gm
+  FROM d WHERE doc_id % 11 = 0
+), train AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gm FROM g
+)
+SELECT doc_id, count(*) AS n_hits, n_grams,
+       round(count(*) / CAST(n_grams AS DOUBLE), 4) AS contaminated_frac
+FROM train JOIN bench USING (gm)
+GROUP BY doc_id, n_grams
+"""
+
+
+def q_repetition_scores(spark, sf):
+    """Within-document repetition quality filters (the Gopher-rule
+    family a web-text pipeline runs before training): duplicate
+    bigram/trigram fractions and the most-frequent-token mass. All
+    array expressions on the JVM — per-doc cost is bounded by doc
+    length (the top-token scan is O(n_tokens * n_distinct) per doc,
+    independent of corpus size), so the whole query is a single
+    shuffle-free map over the scan."""
+    d = _docs(spark, sf).withColumn("toks", F.split(_norm("text"), " "))
+    toks = F.col("toks")
+
+    def ngrams(k: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+
+    def dup_frac(k: int):
+        g = ngrams(k)
+        return F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 4)
+
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+        )
+    )
+    top_frac = F.round(top_tok / F.size(toks), 4)
+    return d.select(
+        "doc_id",
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+        top_frac.alias("top_token_frac"),
+        ((dup_frac(2) > 0.2) | (top_frac > 0.3)).alias("flagged"),
+    )
+
+
+O_REPETITION_SCORES = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+1], ' '))))
+           / CAST(greatest(len(toks) - 1, 1) AS DOUBLE), 4) AS dup_bigram_frac,
+         round(1.0 - len(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))))
+           / CAST(greatest(len(toks) - 2, 1) AS DOUBLE), 4) AS dup_trigram_frac,
+         round(list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t))))
+           / CAST(len(toks) AS DOUBLE), 4) AS top_token_frac
+  FROM d
+)
+SELECT doc_id, dup_bigram_frac, dup_trigram_frac, top_token_frac,
+       (dup_bigram_frac > 0.2 OR top_token_frac > 0.3) AS flagged
+FROM m
+"""
+
+
+def q_url_canonical_dup(spark, sf):
+    """URL canonicalization + url-level dedup (the first pass of any
+    web crawl pipeline: collapse scheme/host case, default ports,
+    fragments, tracking params, and trailing slashes before content
+    dedup ever runs). The documents table has no url column, so two
+    raw spellings per doc are derived deterministically in-query —
+    a messy one (upper-case host, :443, utm_* params, fragment) and a
+    clean one — and docs sharing (source, doc_id % 40) collide on the
+    same canonical path, giving real cross-doc groups. Output: one
+    row per canonical url with variant/doc counts and the min-doc_id
+    representative (the keep-rule).
+
+    Scale shape: pure scalar expressions into one groupBy on the
+    canonical key — a single shuffle, no UDFs; at 10^12 rows the
+    canonical-url groupBy is the same shape as the content-hash
+    dedup's."""
+    d = _docs(spark, sf).withColumn("host", F.concat(F.lower("source"), F.lit(".example.com")))
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 40).cast("string"), F.lit("/"))
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper("host"), F.lit(":443"), path,
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=x#sec"),
+    )
+    clean = F.concat(
+        F.lit("https://"), F.col("host"), path,
+        F.lit("?id="), (F.col("doc_id") % 7).cast("string"),
+    )
+    raw = d.select("doc_id", messy.alias("raw_url")).unionByName(
+        d.select("doc_id", clean.alias("raw_url"))
+    )
+    u = F.regexp_replace(F.col("raw_url"), r"#.*$", "")
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z]+://([^/:?#]+)", 1))
+    upath = F.regexp_replace(F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), r"/$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(F.split(q, "&"), lambda p: ~p.startswith("utm_") & (p != ""))
+    )
+    canon = F.concat(
+        F.lit("https://"), host, upath,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+O_URL_CANONICAL_DUP = """
+WITH d AS (
+  SELECT doc_id, lower(source) || '.example.com' AS host,
+         '/p/' || CAST(doc_id % 40 AS VARCHAR) || '/' AS path,
+         CAST(doc_id % 7 AS VARCHAR) AS idq
+  FROM documents
+), raw AS (
+  SELECT doc_id, 'HTTPS://' || upper(host) || ':443' || path
+         || '?utm_source=feed&id=' || idq || '&utm_campaign=x#sec' AS raw_url FROM d
+  UNION ALL
+  SELECT doc_id, 'https://' || host || path || '?id=' || idq AS raw_url FROM d
+), c AS (
+  SELECT doc_id,
+         regexp_replace(raw_url, '#.*$', '') AS u
+  FROM raw
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+         regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+         list_sort(list_filter(string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+                               p -> NOT starts_with(p, 'utm_') AND p <> '')) AS params
+  FROM c
+)
+SELECT 'https://' || host || path ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+         AS canonical_url,
+       count(*) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS rep_doc_id
+FROM parts
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
     "ocr_chain_select": q_ocr_chain_select,
@@ -1551,6 +1770,9 @@ QUERIES = {
     "temporal_dedup": q_temporal_dedup,
     "exact_cc_clusters_planted": q_exact_cc_clusters_planted,
     "ivf_topk": q_ivf_topk,
+    "decontaminate": q_decontaminate,
+    "repetition_scores": q_repetition_scores,
+    "url_canonical_dup": q_url_canonical_dup,
 }
 
 ORACLES = {
@@ -1593,6 +1815,9 @@ ORACLES = {
     "exact_cc_clusters_planted": O_EXACT_CC_CLUSTERS,
     "ivf_topk": O_SEMANTIC_TOPK,
     "chunk_documents": O_CHUNK_DOCUMENTS,
+    "decontaminate": O_DECONTAMINATE,
+    "repetition_scores": O_REPETITION_SCORES,
+    "url_canonical_dup": O_URL_CANONICAL_DUP,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }

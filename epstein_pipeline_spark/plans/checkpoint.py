@@ -203,6 +203,15 @@ class StageStore:
             tmp = self._stage_dir(stage) / f".manifest-{uuid.uuid4().hex}.tmp"
             tmp.write_text(json.dumps(manifest, indent=2))
             os.replace(tmp, self._manifest(stage))  # atomic commit
+            # metadata log (Iceberg's metadata-log analog): every
+            # published manifest is appended as one JSON line, enabling
+            # time-travel reads + rollback. Appended AFTER the head
+            # swap, still under the lock: a crash between the two
+            # leaves the head valid and merely un-logged — snapshots()
+            # folds the live head back in, so history never lies about
+            # the present, only (harmlessly) about one past state.
+            with open(self._stage_dir(stage) / "MANIFEST.log", "a") as f:
+                f.write(json.dumps(dict(manifest, published_at=time.time())) + "\n")
 
     def _write_snapshot(self, stage: str, df: DataFrame, counters: dict | None) -> dict:
         """Write snapshot files + lineage; return the manifest dict
@@ -501,11 +510,81 @@ class StageStore:
                 out[stage] = round(w / 1e6, 2)
         return out
 
-    def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        m = self.latest(stage)
+    def snapshots(self, stage: str) -> list[dict]:
+        """Publish-ordered manifest history for a stage — Iceberg's
+        ``table.snapshots()`` / metadata-log analog. Tolerates a
+        torn final line (crash mid-append); if the live head was
+        published before the log existed (stores written by earlier
+        versions) it is folded in so the current state always appears."""
+        log = self._stage_dir(stage) / "MANIFEST.log"
+        out: list[dict] = []
+        if log.exists():
+            for line in log.read_text().splitlines():
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn tail from a crash mid-append
+        cur = self.latest(stage)
+        if cur is not None and not any(
+            e.get("snapshot") == cur["snapshot"] and e.get("path") == cur.get("path")
+            for e in out
+        ):
+            out.append(cur)
+        return out
+
+    def _manifest_as_of(self, stage: str, snapshot_id: int) -> dict:
+        """LAST logged manifest whose head is ``snapshot_id`` (later
+        publishes of the same head — e.g. compact's pointer remaps —
+        supersede earlier ones, exactly like Iceberg's metadata
+        rewrites that keep the same current-snapshot-id)."""
+        hist = [e for e in self.snapshots(stage) if e.get("snapshot") == snapshot_id]
+        if not hist:
+            raise FileNotFoundError(
+                f"stage '{stage}': no snapshot {snapshot_id} in the metadata "
+                f"log (known: {sorted({e.get('snapshot') for e in self.snapshots(stage)})})"
+            )
+        return hist[-1]
+
+    def rollback(self, stage: str, snapshot_id: int) -> dict:
+        """Set the stage head back to a previously-published snapshot —
+        Iceberg's ``rollback_to_snapshot``. The historical manifest is
+        re-published (optimistically, against the current head), so
+        readers atomically flip to the old state; data files are never
+        touched. Refuses if any referenced snapshot dir was expired.
+        NOTE: rolling back ``extract`` on a pipeline store leaves
+        downstream ``for_extract_snapshot`` pointers ahead of the new
+        head — the next ingest's freshness rule then recomputes
+        downstream from the rolled-back corpus, which is exactly the
+        semantic a rollback asks for."""
+        m = self._manifest_as_of(stage, snapshot_id)
+        missing = [p for p in m.get("paths", [m["path"]]) if not Path(p).is_dir()]
+        if missing:
+            raise FileNotFoundError(
+                f"stage '{stage}': cannot roll back to snapshot {snapshot_id} — "
+                f"expired/missing snapshot dirs: {missing}"
+            )
+        cur = self.latest(stage)
+        self._publish(stage, m, expected_parent=cur["snapshot"] if cur else None)
+        return m
+
+    def read(
+        self, spark: SparkSession, stage: str, as_of: int | None = None
+    ) -> DataFrame:
+        """Read the stage's committed data; ``as_of=<snapshot_id>``
+        time-travels to any snapshot still on disk (expire_snapshots
+        breaks time-travel to the expired ones, as in Iceberg)."""
+        m = self._manifest_as_of(stage, as_of) if as_of is not None else self.latest(stage)
         if m is None:
             raise FileNotFoundError(f"no committed snapshot for stage '{stage}'")
-        return spark.read.parquet(*m.get("paths", [m["path"]]))
+        paths = m.get("paths", [m["path"]])
+        if as_of is not None:
+            missing = [p for p in paths if not Path(p).is_dir()]
+            if missing:
+                raise FileNotFoundError(
+                    f"stage '{stage}': snapshot {as_of} was expired — missing "
+                    f"dirs: {missing}"
+                )
+        return spark.read.parquet(*paths)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(str(self.root / "_lineage"))

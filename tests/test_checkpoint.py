@@ -219,3 +219,68 @@ def test_conflict_orphan_snapshot_expired(spark, tmp_path):
     kept = {p.name for p in (tmp_path / "s").glob("snapshot-*")}
     assert kept == {m["path"].rsplit("/", 1)[-1]} and len(dirs_before) == 3
     assert store.read(spark, "s").count() == 7
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(as_of=) returns the stage exactly as each published
+    snapshot saw it — the Iceberg time-travel contract — including
+    append chains, where snapshot k's manifest unions only the deltas
+    committed up to k."""
+    store = StageStore(tmp_path)
+    m0 = store.commit("t", spark.range(10))
+    m1 = store.append("t", spark.range(10, 15))
+    m2 = store.append("t", spark.range(15, 17))
+    assert store.read(spark, "t").count() == 17
+    assert store.read(spark, "t", as_of=m0["snapshot"]).count() == 10
+    assert store.read(spark, "t", as_of=m1["snapshot"]).count() == 15
+    assert store.read(spark, "t", as_of=m2["snapshot"]).count() == 17
+    heads = [e["snapshot"] for e in store.snapshots("t")]
+    # publish order preserved; append's two-step first commit logs
+    # snapshot 0 twice (delta_rows backfill supersedes), then 1, 2
+    assert heads[-2:] == [1, 2] and heads[0] == 0
+
+
+def test_rollback_restores_old_head(spark, tmp_path):
+    """rollback() re-publishes a historical manifest as the head:
+    readers flip atomically, data files untouched, and subsequent
+    appends chain off the rolled-back state."""
+    store = StageStore(tmp_path)
+    m0 = store.commit("t", spark.range(10))
+    store.append("t", spark.range(10, 15))
+    store.rollback("t", m0["snapshot"])
+    assert store.latest("t")["snapshot"] == m0["snapshot"]
+    assert store.read(spark, "t").count() == 10
+    store.append("t", spark.range(100, 102))
+    assert store.read(spark, "t").count() == 12
+
+
+def test_time_travel_after_expire_raises(spark, tmp_path):
+    """expire_snapshots breaks time-travel to the expired snapshots
+    (Iceberg semantics): read(as_of=) and rollback() must fail with a
+    clear error, never silently read a partial chain."""
+    import pytest
+
+    store = StageStore(tmp_path)
+    m0 = store.commit("t", spark.range(10))
+    store.append("t", spark.range(10, 15))
+    store.compact(spark, "t")
+    store.expire_snapshots("t")
+    with pytest.raises(FileNotFoundError, match="expired"):
+        store.read(spark, "t", as_of=m0["snapshot"])
+    with pytest.raises(FileNotFoundError):
+        store.rollback("t", m0["snapshot"])
+    # the compacted head still reads fine, with and without as_of
+    head = store.latest("t")["snapshot"]
+    assert store.read(spark, "t", as_of=head).count() == 15
+
+
+def test_snapshots_pre_log_store_folds_in_head(spark, tmp_path):
+    """Stores written before the metadata log existed have a manifest
+    but no MANIFEST.log — snapshots() must still report the live head
+    (and time-travel to it must work)."""
+    store = StageStore(tmp_path)
+    m = store.commit("t", spark.range(7))
+    (store._stage_dir("t") / "MANIFEST.log").unlink()
+    snaps = store.snapshots("t")
+    assert [e["snapshot"] for e in snaps] == [m["snapshot"]]
+    assert store.read(spark, "t", as_of=m["snapshot"]).count() == 7

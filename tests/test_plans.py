@@ -214,3 +214,27 @@ def test_incremental_exact_anchor_is_delta_restricted(spark, pages, tmp_path):
     )
     p = plan(anchor)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set (tiny vs the corpus) must broadcast;
+    the corpus-side gram explode must never shuffle document text —
+    the only non-broadcast exchanges are the bench-side distinct and
+    the final per-doc groupBy (which carries hit rows only)."""
+    from epstein_pipeline_spark.entry_queries import q_decontaminate
+
+    p = plan(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_repetition_scores_is_shuffle_free(spark):
+    """Per-doc repetition metrics are pure array expressions over the
+    scan: one map-side pass, zero exchanges."""
+    from epstein_pipeline_spark.entry_queries import q_repetition_scores
+
+    p = plan(q_repetition_scores(spark, SF))
+    assert "Exchange" not in p
+    # and the scan reads only what the query needs
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
