@@ -11,17 +11,26 @@ REAL pixel bytes instead of a hash-seeded fake:
   handles 4-byte row padding and both bottom-up (height > 0) and
   top-down (height < 0) row orders.
 - PPM (P6, maxval 255): the classic interchange format.
+- PNG, 8-bit depth, non-interlaced, color types 0/2/3/4/6 (grayscale,
+  RGB, palette, gray+alpha, RGBA): DEFLATE is stdlib ``zlib``, so the
+  only codec work is chunk walking, per-scanline unfiltering
+  (None/Sub/Up/Average/Paeth), and channel normalization to RGB —
+  the format the bulk of real web images that aren't JPEG arrive in.
 
 ``decode_image`` dispatches on magic bytes and raises
 ``UnsupportedImageError`` for anything else — the exact spot a real
-codec (PIL) plugs in with the same ndarray contract.
+codec (PIL, for JPEG's Huffman+DCT) plugs in with the same ndarray
+contract.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 class UnsupportedImageError(NotImplementedError):
@@ -36,8 +45,10 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:8] == _PNG_MAGIC:
+        return decode_png(content)
     raise UnsupportedImageError(
-        "only uncompressed 24-bit BMP and P6 PPM decode without PIL/ffmpeg"
+        "only 24-bit BMP, P6 PPM and 8-bit PNG decode without PIL/ffmpeg"
     )
 
 
@@ -114,6 +125,153 @@ def decode_ppm(content: bytes) -> np.ndarray:
         np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
         .reshape(h, w, 3)
         .copy()
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (H, W, 3) uint8 RGB. Alpha channels
+    are composited over white (the web-thumbnail convention); palette
+    images are expanded through PLTE. Interlaced (Adam7) and 16-bit
+    images raise — the PIL plug point covers them."""
+    if content[:8] != _PNG_MAGIC:
+        raise UnsupportedImageError("not a PNG file")
+    pos = 8
+    n = len(content)
+    width = height = depth = ctype = interlace = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + crc
+    if width is None:
+        raise UnsupportedImageError("PNG missing IHDR")
+    if depth != 8:
+        raise UnsupportedImageError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace != 0:
+        raise UnsupportedImageError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise UnsupportedImageError(f"unknown PNG color type {ctype}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise UnsupportedImageError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise UnsupportedImageError("truncated PNG pixel data")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    filters, scan = lines[:, 0], lines[:, 1:]
+    # unfilter: Up-only images vectorize (common for synthetic rows);
+    # otherwise the per-scanline loop honors the sequential dependency
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # depth 8: filter unit == one pixel's channels
+    for y in range(height):
+        f = filters[y]
+        row = scan[y].astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = row + prev
+        else:
+            cur = np.empty(stride, dtype=np.int32)
+            pr = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] & 0xFF if x >= bpp else 0
+                b = pr[x]
+                c = pr[x - bpp] if x >= bpp else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) >> 1
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise UnsupportedImageError(f"bad PNG filter byte {f}")
+                cur[x] = row[x] + pred
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+    px = out.reshape(height, width, channels)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise UnsupportedImageError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    # alpha types: composite over white
+    rgb = px[:, :, :3] if ctype == 6 else np.repeat(px[:, :, :1], 3, axis=2)
+    alpha = px[:, :, -1:].astype(np.float64) / 255.0
+    return (rgb.astype(np.float64) * alpha + 255.0 * (1.0 - alpha)).round().astype(np.uint8)
+
+
+def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> 8-bit RGB PNG bytes (test-fixture twin
+    of ``decode_png``). ``filter_type`` applies one filter to every
+    scanline so the unfilter paths are individually exercisable."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8 and filter_type in (0, 1, 2, 3, 4)
+    img = rgb.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = img[y]
+        if filter_type == 0:
+            enc = row
+        else:
+            a = np.zeros((w, 3), dtype=np.int32)
+            a[1:] = row[:-1]
+            b = prev
+            cdiag = np.zeros((w, 3), dtype=np.int32)
+            cdiag[1:] = prev[:-1]
+            if filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cdiag
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cdiag)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cdiag)
+                )
+            enc = row - pred
+        raw.append(filter_type)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -36,6 +36,7 @@ from epstein_pipeline_spark.functions.audiocodec import (
 from epstein_pipeline_spark.functions.imagecodec import (
     decode_image,
     encode_bmp,
+    encode_png,
     image_feature,
     resize_nearest,
 )
@@ -158,6 +159,27 @@ def synth_bmp_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
         rgb[:, :] = [(i * 37) % 256, (i * 91) % 256, (i * 53) % 256]
         rgb[:, 0, 0] = np.linspace(0, 255, h).astype(np.uint8)  # stripe
         rows.append((f"bmp{i:04d}", "image", encode_bmp(rgb), "image/bmp", w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_png_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-image media table in PNG form: same planted
+    pixel rule as ``synth_bmp_media`` (so the two tables' decoded
+    features are directly comparable), but DEFLATE-compressed through
+    the PNG writer, cycling the scanline filter type per row so every
+    unfilter path (None/Sub/Up/Average/Paeth) executes in the
+    pipeline, not just in codec unit tests."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.randint(5, 40)), int(rng.randint(5, 40))
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        rgb[:, :] = [(i * 37) % 256, (i * 91) % 256, (i * 53) % 256]
+        rgb[:, 0, 0] = np.linspace(0, 255, h).astype(np.uint8)  # stripe
+        rows.append(
+            (f"png{i:04d}", "image", encode_png(rgb, filter_type=i % 5),
+             "image/png", w, h, None)
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -280,3 +280,112 @@ def test_wav_roundtrip_hypothesis():
         assert np.abs(out - sig).max() <= 1.5 / 32768
 
     check()
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png/decode_png round-trip is exact for every scanline
+    filter type (None/Sub/Up/Average/Paeth) and odd dimensions."""
+    from epstein_pipeline_spark.functions.imagecodec import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(rgb, filter_type=ft)) == rgb).all(), ft
+
+
+def test_png_color_types_decode():
+    """Grayscale replicates channels, palette expands through PLTE,
+    alpha composites over white — each color type via hand-built
+    chunks (the encoder only writes RGB)."""
+    import struct
+    import zlib
+
+    from epstein_pipeline_spark.functions.imagecodec import _PNG_MAGIC, decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png(ctype, w, h, raw, extra=b""):
+        return (_PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + extra + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    g = np.random.RandomState(3).randint(0, 256, (5, 9, 1), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(5))
+    assert (decode_png(png(0, 9, 5, raw)) == np.repeat(g, 3, axis=2)).all()
+
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    got = decode_png(png(3, 2, 2, raw, extra=chunk(b"PLTE", plte.tobytes())))
+    assert (got == plte[idx]).all()
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., :3] = 100
+    rgba[..., 3] = 128
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    exp = round(100 * 128 / 255 + 255 * (1 - 128 / 255))
+    assert (decode_png(png(6, 2, 2, raw)) == exp).all()
+
+
+def test_png_multi_idat_and_unsupported():
+    """IDAT may be split across chunks (decoders must concatenate);
+    16-bit and interlaced images raise at the PIL plug point."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from epstein_pipeline_spark.functions.imagecodec import (
+        _PNG_MAGIC,
+        UnsupportedImageError,
+        decode_image,
+        encode_png,
+    )
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    rgb = np.random.RandomState(5).randint(0, 256, (6, 4, 3), dtype=np.uint8)
+    whole = encode_png(rgb, filter_type=4)
+    hdr_end = 8 + 12 + 13  # magic + IHDR chunk
+    (ln,) = struct.unpack_from(">I", whole, hdr_end)
+    idat = whole[hdr_end + 8 : hdr_end + 8 + ln]
+    split = (whole[:hdr_end] + chunk(b"IDAT", idat[:11])
+             + chunk(b"IDAT", idat[11:]) + chunk(b"IEND", b""))
+    assert (decode_image(split) == rgb).all()
+
+    interlaced = (_PNG_MAGIC
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 6, 8, 2, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(b"\x00" * (6 * 13)))
+                  + chunk(b"IEND", b""))
+    with pytest.raises(UnsupportedImageError, match="interlaced"):
+        decode_image(interlaced)
+    sixteen = (_PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 6, 16, 2, 0, 0, 0))
+               + chunk(b"IEND", b""))
+    with pytest.raises(UnsupportedImageError, match="8-bit"):
+        decode_image(sixteen)
+
+
+def test_png_media_features_match_bmp_twins(spark):
+    """synth_png_media plants the SAME pixel rule as synth_bmp_media —
+    the pipeline's decoded features must be identical across the two
+    container formats (proving the PNG unfilter paths reconstruct the
+    same pixels end-to-end through extract_features)."""
+    from epstein_pipeline_spark.operators.multimodal import (
+        synth_bmp_media,
+        synth_png_media,
+    )
+
+    bmp = {r["media_id"][3:]: np.array(r["feature"])
+           for r in extract_features(synth_bmp_media(spark, n=10), dim=19,
+                                     decode_stub="decode").collect()}
+    png = {r["media_id"][3:]: np.array(r["feature"])
+           for r in extract_features(synth_png_media(spark, n=10), dim=19,
+                                     decode_stub="decode").collect()}
+    assert sorted(bmp) == sorted(png) and len(bmp) == 10
+    for k in bmp:
+        assert np.allclose(bmp[k], png[k], atol=0), k
