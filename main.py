@@ -110,6 +110,68 @@ def cmd_compact(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_snapshots(args) -> None:
+    """Print a stage's publish-ordered snapshot history from the
+    metadata log (Iceberg `table.snapshots()` analog) — pyspark-free
+    read-only path like `lineage`."""
+    import os
+
+    sdir = os.path.join(args.store, args.stage)
+    if not os.path.isdir(sdir):
+        raise SystemExit(f"snapshots: no such store stage directory: {sdir}")
+    hist = []
+    log = os.path.join(sdir, "MANIFEST.log")
+    if os.path.isfile(log):
+        with open(log) as f:
+            for line in f:
+                try:
+                    hist.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn tail from a crash mid-append
+    cur = None
+    mpath = os.path.join(sdir, "MANIFEST.json")
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            cur = json.load(f)
+    if cur is not None and not any(
+        e.get("snapshot") == cur["snapshot"] and e.get("path") == cur.get("path")
+        for e in hist
+    ):
+        hist.append(cur)  # pre-log store: fold the live head in
+    print(
+        json.dumps(
+            {
+                "stage": args.stage,
+                "current": cur["snapshot"] if cur else None,
+                "history": [
+                    {
+                        "snapshot": e.get("snapshot"),
+                        "rows": e.get("rows"),
+                        "chain_len": len(e.get("paths", [e.get("path")])),
+                        "published_at": e.get("published_at", e.get("committed_at")),
+                    }
+                    for e in hist
+                ],
+            }
+        )
+    )
+
+
+def cmd_rollback(args) -> None:
+    """Set a stage head back to a previous snapshot (Iceberg
+    rollback_to_snapshot analog): atomically re-publishes the
+    historical manifest; data files untouched."""
+    from epstein_pipeline_spark.plans.checkpoint import StageStore
+
+    store = StageStore(args.store)
+    m = store.rollback(args.stage, args.snapshot)
+    print(
+        json.dumps(
+            {"stage": args.stage, "rolled_back_to": m["snapshot"], "rows": m["rows"]}
+        )
+    )
+
+
 def cmd_lineage(args) -> None:
     """Audit a store without writing Spark code: per-stage manifest
     summary (snapshot id, rows, bytes, counters incl. shuffle bytes,
@@ -359,6 +421,17 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--store", required=True)
     c.add_argument("--stages", default=None, help="comma-separated; default: all chained stages")
     c.set_defaults(fn=cmd_compact)
+
+    sn = sub.add_parser("snapshots", help="print a stage's snapshot history (time-travel log)")
+    sn.add_argument("--store", required=True)
+    sn.add_argument("--stage", required=True)
+    sn.set_defaults(fn=cmd_snapshots)
+
+    rb = sub.add_parser("rollback", help="roll a stage head back to a previous snapshot")
+    rb.add_argument("--store", required=True)
+    rb.add_argument("--stage", required=True)
+    rb.add_argument("--snapshot", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
 
     ln = sub.add_parser("lineage", help="audit a store: manifests, counters, per-partition lineage")
     ln.add_argument("--store", required=True)
