@@ -110,6 +110,43 @@ def cmd_compact(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_decontaminate(args) -> None:
+    """Drop corpus pages sharing any n-token gram with a benchmark
+    table (training-data decontamination): writes the clean corpus
+    parquet and, optionally, the flagged report."""
+    from pyspark.sql import SparkSession
+
+    from epstein_pipeline_spark.operators.decontam import decontaminate
+
+    spark = SparkSession.builder.appName(
+        "epstein_pipeline_spark.decontaminate"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    corpus = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    t0 = time.time()
+    clean, flagged = decontaminate(
+        corpus, bench, id_col=args.id_col, text_col=args.text_col, n=args.ngram
+    )
+    flagged = flagged.localCheckpoint()  # one execution for report + anti-join
+    clean.write.mode("overwrite").parquet(args.output)
+    if args.report:
+        flagged.write.mode("overwrite").parquet(args.report)
+    docs_in = corpus.count()
+    n_flagged = flagged.count()
+    print(
+        json.dumps(
+            {
+                "docs_in": docs_in,
+                "contaminated": n_flagged,
+                "docs_out": docs_in - n_flagged,
+                "ngram": args.ngram,
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_snapshots(args) -> None:
     """Print a stage's publish-ordered snapshot history from the
     metadata log (Iceberg `table.snapshots()` analog) — pyspark-free
@@ -421,6 +458,18 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--store", required=True)
     c.add_argument("--stages", default=None, help="comma-separated; default: all chained stages")
     c.set_defaults(fn=cmd_compact)
+
+    dc = sub.add_parser(
+        "decontaminate", help="drop corpus pages sharing n-grams with a benchmark table"
+    )
+    dc.add_argument("--input", required=True, help="corpus parquet")
+    dc.add_argument("--benchmark", required=True, help="benchmark parquet (needs a text column)")
+    dc.add_argument("--output", required=True, help="clean corpus parquet")
+    dc.add_argument("--report", help="optional flagged-doc report parquet")
+    dc.add_argument("--ngram", type=int, default=13)
+    dc.add_argument("--id-col", default="url")
+    dc.add_argument("--text-col", default="text")
+    dc.set_defaults(fn=cmd_decontaminate)
 
     sn = sub.add_parser("snapshots", help="print a stage's snapshot history (time-travel log)")
     sn.add_argument("--store", required=True)
