@@ -1644,6 +1644,59 @@ FROM m
 """
 
 
+def q_dup_span_stats(spark, sf):
+    """Cross-document repeated-span (ExactSubstr) dedup stats — the
+    Lee-et-al.-2021 "remove every >= n-token span that occurs more
+    than once, keeping one canonical copy" rule, reformulated as
+    repeated-n-gram coverage + per-doc interval merge (exactly the
+    token set a suffix-array scan flags at the same threshold; see
+    operators/dup_spans.py for the equivalence argument and the
+    pass-A map-side-combine scale story). n=15 on the documents
+    table, canonical occurrence = min (doc_id, pos)."""
+    from epstein_pipeline_spark.operators.dup_spans import repeated_span_stats
+
+    return repeated_span_stats(
+        _docs(spark, sf),
+        id_col="doc_id",
+        text_col="text",
+        n=15,
+        dup_grams_hint=100_000,  # benchmark-scale dup-gram sets broadcast
+    ).select("doc_id", "n_tokens", "n_dup_positions", "dup_tokens", "dup_fraction")
+
+
+O_DUP_SPAN_STATS = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS toks
+  FROM documents
+), flat AS (
+  SELECT doc_id, n_tokens, u.p AS p, u.gm AS gm FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 14, 1)),
+             i -> struct_pack(p := i, gm := array_to_string(toks[i:i+14], ' ')))) AS u
+    FROM d)
+), marked AS (
+  SELECT doc_id, n_tokens, p,
+         count(*) OVER (PARTITION BY gm) AS c,
+         row_number() OVER (PARTITION BY gm ORDER BY doc_id, p) AS rn
+  FROM flat
+), hits AS (
+  SELECT doc_id, n_tokens, p FROM marked WHERE c >= 2 AND rn > 1
+), agg AS (
+  SELECT doc_id, n_tokens, count(*) AS n_dup_positions
+  FROM hits GROUP BY doc_id, n_tokens
+), cov AS (
+  SELECT doc_id, count(DISTINCT t) AS dup_tokens FROM (
+    SELECT doc_id, unnest(generate_series(p, least(p + 14, n_tokens))) AS t
+    FROM hits)
+  GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, a.n_dup_positions, c.dup_tokens,
+       round(c.dup_tokens / CAST(a.n_tokens AS DOUBLE), 4) AS dup_fraction
+FROM agg a JOIN cov c USING (doc_id)
+"""
+
+
 def q_url_canonical_dup(spark, sf):
     """URL canonicalization + url-level dedup (the first pass of any
     web crawl pipeline: collapse scheme/host case, default ports,
@@ -1773,6 +1826,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
     "url_canonical_dup": q_url_canonical_dup,
+    "dup_span_stats": q_dup_span_stats,
 }
 
 ORACLES = {
@@ -1818,6 +1872,7 @@ ORACLES = {
     "decontaminate": O_DECONTAMINATE,
     "repetition_scores": O_REPETITION_SCORES,
     "url_canonical_dup": O_URL_CANONICAL_DUP,
+    "dup_span_stats": O_DUP_SPAN_STATS,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }

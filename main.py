@@ -147,6 +147,49 @@ def cmd_decontaminate(args) -> None:
     )
 
 
+def cmd_dedup_spans(args) -> None:
+    """Strip corpus-wide repeated token spans (ExactSubstr dedup, Lee
+    et al. 2021): every >= n-token span occurring more than once loses
+    all but one canonical occurrence. Writes the rewritten corpus and
+    prints coverage stats."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from epstein_pipeline_spark.operators.dup_spans import strip_repeated_spans
+
+    spark = SparkSession.builder.appName(
+        "epstein_pipeline_spark.dedup_spans"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    corpus = spark.read.parquet(args.input)
+    t0 = time.time()
+    out = strip_repeated_spans(
+        corpus,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n=args.ngram,
+        keep=args.keep,
+    ).localCheckpoint()  # one execution for the write + the stats agg
+    out.write.mode("overwrite").parquet(args.output)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("dup_tokens") > 0).cast("int")).alias("docs_stripped"),
+        F.sum("dup_tokens").alias("tokens_stripped"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs": stats["docs"],
+                "docs_stripped": stats["docs_stripped"],
+                "tokens_stripped": stats["tokens_stripped"],
+                "ngram": args.ngram,
+                "keep": args.keep,
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_snapshots(args) -> None:
     """Print a stage's publish-ordered snapshot history from the
     metadata log (Iceberg `table.snapshots()` analog) — pyspark-free
@@ -470,6 +513,18 @@ def main(argv: list[str] | None = None) -> None:
     dc.add_argument("--id-col", default="url")
     dc.add_argument("--text-col", default="text")
     dc.set_defaults(fn=cmd_decontaminate)
+
+    ds = sub.add_parser(
+        "dedup-spans",
+        help="strip corpus-wide repeated token spans (ExactSubstr dedup)",
+    )
+    ds.add_argument("--input", required=True, help="corpus parquet")
+    ds.add_argument("--output", required=True, help="rewritten corpus parquet")
+    ds.add_argument("--ngram", type=int, default=50)
+    ds.add_argument("--keep", choices=("one", "none"), default="one")
+    ds.add_argument("--id-col", default="url")
+    ds.add_argument("--text-col", default="text")
+    ds.set_defaults(fn=cmd_dedup_spans)
 
     sn = sub.add_parser("snapshots", help="print a stage's snapshot history (time-travel log)")
     sn.add_argument("--store", required=True)
