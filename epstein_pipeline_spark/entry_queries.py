@@ -1697,6 +1697,83 @@ FROM agg a JOIN cov c USING (doc_id)
 """
 
 
+def q_pii_redact(spark, sf):
+    """PII masking (Dolma-convention sentinels) — the pre-training
+    redaction pass. PII is planted deterministically per doc (the
+    entity_extract trick: email, phone, IPv4, SSN derived from
+    doc_id), the text is rewritten through the PII_PATTERNS chain,
+    and the oracle pins BOTH the per-type counts and a sha256 of the
+    redacted bytes — a masking regression at equal counts is caught.
+    Pure scalar regexp expressions; zero exchanges."""
+    from epstein_pipeline_spark.operators.pii import redact_pii
+
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" Reach user"), did.cast("string"),
+        F.lit("@host.example.net or (646) 555-0"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit(". Node 10."), (did % 256).cast("string"),
+        F.lit("."), (did % 200).cast("string"),
+        F.lit("."), (did % 250 + 1).cast("string"),
+        F.lit(" ssn "), (did % 900 + 100).cast("string"),
+        F.lit("-"), (did % 90 + 10).cast("string"),
+        F.lit("-"), (did % 9000 + 1000).cast("string"),
+        F.lit(" end."),
+    )
+    aug = _docs(spark, sf).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return redact_pii(aug).select(
+        "doc_id",
+        "n_email_address",
+        "n_ssn",
+        "n_ip_address",
+        "n_phone_number",
+        "any_pii",
+        F.sha2(F.col("text"), 256).alias("redacted_hash"),
+    )
+
+
+def _pii_oracle() -> str:
+    from epstein_pipeline_spark.operators.pii import PII_PATTERNS, mask_token
+
+    red = "text"
+    for t, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '{mask_token(t)}', 'g')"
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{t.lower()}"
+        for t, p in PII_PATTERNS.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' Reach user' || CAST(doc_id AS VARCHAR)
+              || '@host.example.net or (646) 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '. Node 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+              || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+              || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              || ' end.' AS text
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         {counts},
+         {red} AS red
+  FROM d
+)
+SELECT doc_id, n_email_address, n_ssn, n_ip_address, n_phone_number,
+       (n_email_address + n_ssn + n_ip_address + n_phone_number > 0) AS any_pii,
+       sha256(red) AS redacted_hash
+FROM r
+"""
+
+
+O_PII_REDACT = _pii_oracle()
+
+
 def q_url_canonical_dup(spark, sf):
     """URL canonicalization + url-level dedup (the first pass of any
     web crawl pipeline: collapse scheme/host case, default ports,
@@ -1827,6 +1904,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "url_canonical_dup": q_url_canonical_dup,
     "dup_span_stats": q_dup_span_stats,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES = {
@@ -1873,6 +1951,7 @@ ORACLES = {
     "repetition_scores": O_REPETITION_SCORES,
     "url_canonical_dup": O_URL_CANONICAL_DUP,
     "dup_span_stats": O_DUP_SPAN_STATS,
+    "pii_redact": O_PII_REDACT,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }
