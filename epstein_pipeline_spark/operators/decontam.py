@@ -10,9 +10,9 @@ as a first-class stage. Semantics follow the published convention
 the synthetic web corpus's short pages test with n=8).
 
 Scale shape (10^12 training pages, 10^5-10^6 benchmark items):
-- Benchmark grams hash to a long via ``xxhash64`` JVM-side (no text
-  leaves the benchmark scan) and are DISTINCT-ed — typically a few
-  million longs, a broadcast-sized set.
+- Benchmark grams fingerprint to longs JVM-side (xxhash64 token fold,
+  ``functions/grams.py`` — no text leaves the benchmark scan) and are
+  DISTINCT-ed — typically a few million longs, a broadcast-sized set.
 - The corpus side explodes its own gram hashes map-side and
   broadcast-joins: corpus text never shuffles; the only wide exchange
   is the per-doc groupBy over HIT rows (overlap is rare, so this is
@@ -32,48 +32,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from epstein_pipeline_spark.functions.text import normalize_text_expr
-
-
-def _gram_hashes(text_col: str, n: int) -> F.Column:
-    """array<long>: xxhash64 of each n-token gram of the normalized
-    text (a doc shorter than n tokens contributes its whole token
-    span as one gram, mirroring the oracle-checked entry query).
-
-    Formulation note (performance contract): the grams are built by
-    zipping ``n`` shifted slices of the token array and hashing the
-    zipped structs, so the ``transform`` lambda references ONLY its
-    own argument. The obvious alternative — ``transform(sequence(...),
-    i -> hash(slice(toks, i, n)))`` — embeds ``toks`` in the lambda
-    body, and Catalyst's alias substitution (CollapseProject, and
-    unconditionally the ``size(..) > 0`` filter InferFiltersFromGenerate
-    plants below the explode) inlines ``split(normalize(text))`` there,
-    which is then re-evaluated PER GRAM ELEMENT: O(tokens) regex work ×
-    O(tokens) grams = a quadratic blowup per doc, observed as minutes
-    on a 1 MB corpus. The zip form costs O(n·tokens) per row even when
-    fully inlined."""
-    toks = F.split(normalize_text_expr(text_col), " ")
-    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    # k-th shifted slice (k=0..n-1): token k+i of gram i; all slices
-    # share length n_grams, arrays_zip null-pads short docs and
-    # concat_ws skips nulls -> the whole-span gram falls out for free
-    zipped = F.arrays_zip(
-        *[F.slice(toks, k + 1, n_grams).alias(f"t{k}") for k in range(n)]
-    )
-    return F.array_distinct(
-        F.transform(
-            zipped,
-            lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])),
-        )
-    )
+from epstein_pipeline_spark.functions.grams import GRAMS_COL, with_gram_hashes
 
 
 def benchmark_gram_hashes(
     bench: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
-    """(gram: long) DISTINCT — the benchmark's n-gram fingerprint set."""
+    """(gram: long) DISTINCT — the benchmark's n-gram fingerprint set
+    (token-fold fingerprints per ``functions/grams.py``; a doc shorter
+    than n tokens contributes its whole token span as one gram)."""
     return (
-        bench.select(F.explode(_gram_hashes(text_col, n)).alias("gram")).distinct()
+        with_gram_hashes(bench, text_col, n, distinct=True)
+        .select(F.explode(GRAMS_COL).alias("gram"))
+        .distinct()
     )
 
 
@@ -101,11 +72,11 @@ def flag_contaminated(
         if n_grams <= broadcast_max_grams:
             grams = F.broadcast(grams)
     corpus_grams = (
-        corpus.withColumn("__grams", _gram_hashes(text_col, n))
+        with_gram_hashes(corpus, text_col, n, distinct=True)
         .select(
             F.col(id_col),
-            F.size("__grams").alias("n_grams"),
-            F.explode("__grams").alias("gram"),
+            F.size(GRAMS_COL).alias("n_grams"),
+            F.explode(GRAMS_COL).alias("gram"),
         )
     )
     return (

@@ -30,13 +30,12 @@ gram count + per-doc interval merge, with no global sort:
   and merges each doc's hit positions into maximal [start, end]
   token islands with a single ``aggregate`` over the sorted
   positions — O(hits) per doc, no per-token blowup.
-- Gram hashes are xxhash64 longs: corpus text never enters pass A's
-  exchange (same contract as decontam; collision odds at 2^64 are
-  negligible next to the pipeline's MinHash error budget).
-- Gram arrays use the zip-of-shifted-slices construction so no
-  transform lambda references the normalize+split expression — see
-  ``decontam._gram_hashes`` for the Catalyst alias-substitution
-  hazard this avoids.
+- Gram fingerprints are 64-bit token-fold longs built per
+  ``functions/grams.py`` (Generate-barrier construction — see that
+  module for the Catalyst alias-substitution hazard and the
+  per-gram string-churn cost it avoids): corpus text never enters
+  pass A's exchange, and collision odds at 2^64 are negligible next
+  to the pipeline's MinHash error budget.
 """
 
 from __future__ import annotations
@@ -44,38 +43,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from epstein_pipeline_spark.functions.grams import (
+    GRAMS_COL,
+    N_TOKENS_COL,
+    with_gram_hashes,
+)
 from epstein_pipeline_spark.functions.text import normalize_text_expr
 
 
-def _gram_pos_structs(text_col: str, n: int) -> F.Column:
-    """array<struct<gram:long, pos:int>>: xxhash64 of every n-token
-    gram of the normalized text WITH its 1-based token position (no
-    de-duplication — within-doc repeats are occurrences too). A doc
-    shorter than n tokens contributes its whole token span as the
-    single gram at pos 1."""
-    toks = F.split(normalize_text_expr(text_col), " ")
-    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    zipped = F.arrays_zip(
-        *[F.slice(toks, k + 1, n_grams).alias(f"t{k}") for k in range(n)]
-    )
-    return F.transform(
-        zipped,
-        lambda s, i: F.struct(
-            F.xxhash64(
-                F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
-            ).alias("gram"),
-            (i + F.lit(1)).alias("pos"),
-        ),
-    )
-
-
 def _positions(corpus: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, n_tokens, gram, pos) — one row per gram occurrence."""
+    """(id, n_tokens, gram, pos) — one row per gram occurrence (no
+    de-duplication: within-doc repeats are occurrences too). Gram
+    fingerprints are the token-fold longs of ``functions/grams.py``;
+    a doc shorter than n tokens contributes its whole token span as
+    the single gram at pos 1."""
     return (
-        corpus.select(
+        with_gram_hashes(corpus, text_col, n, with_pos=True)
+        .select(
             F.col(id_col),
-            F.size(F.split(normalize_text_expr(text_col), " ")).alias("n_tokens"),
-            F.explode(_gram_pos_structs(text_col, n)).alias("g"),
+            F.col(N_TOKENS_COL).alias("n_tokens"),
+            F.explode(GRAMS_COL).alias("g"),
         )
         .select(id_col, "n_tokens", F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
     )
