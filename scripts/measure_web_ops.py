@@ -72,13 +72,22 @@ def run_one(cores: int, op: str, corpus_dir: str) -> None:
     )
     try:
         df = _op_df(spark, op, corpus_dir)
-        t0 = time.time()
+        # one untimed warmup execution, then min-of-2 timed: a fresh
+        # JVM's JIT/classloading tax (~1.5 s) is constant per run, so
+        # cold timing would weigh 4x heavier on the short hi-level
+        # runs and understate scaling (measured: pii eff 0.707 cold
+        # vs ~0.85 warm at 32k pages)
         df.write.format("noop").mode("overwrite").save()
-        sec = time.time() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
         # rows via count() would let Catalyst prune the regex/gram
         # work for map-only ops — the noop write is the honest action;
         # the orchestrator probes rows separately (untimed)
-        print(json.dumps({"sec": round(sec, 2)}))
+        print(json.dumps({"sec": round(best, 2)}))
     finally:
         spark.stop()
 
@@ -119,15 +128,11 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for op in OPS:
-        lo = hi = None
         rows = probe_rows(op, corpus_dir)
-        # interleave lo,hi,hi,lo: a slow window can't sink one level
-        for cores in (CORES_LO, CORES_HI, CORES_HI, CORES_LO):
-            r = sub(cores, op)
-            if cores == CORES_LO:
-                lo = r["sec"] if lo is None else min(lo, r["sec"])
-            else:
-                hi = r["sec"] if hi is None else min(hi, r["sec"])
+        # each subprocess already takes its in-JVM min-of-2 after a
+        # warmup execution; one subprocess per level suffices
+        hi = sub(CORES_HI, op)["sec"]
+        lo = sub(CORES_LO, op)["sec"]
         eff = (lo / hi) / (CORES_HI / CORES_LO)
         results[op] = {
             "rows": rows,
