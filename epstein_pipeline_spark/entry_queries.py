@@ -1860,6 +1860,105 @@ GROUP BY 1
 """
 
 
+def q_line_dedup(spark, sf):
+    """Cross-corpus line-level dedup (C4 §2.2 / CCNet paragraph rule):
+    any 10-token line occurring >= 2 times corpus-wide keeps only its
+    first occurrence in (doc_id, line_idx) order; every doc reports
+    how many lines it lost and the hash of its cleaned text. The
+    corpus has organic repeats (planted near-dup variants share
+    aligned spans), so the rule fires on the raw table.
+
+    Scale shape (operators/line_dedup.py docstring has the full
+    argument): text never shuffles — the wide exchanges carry
+    (xxhash64, doc_id, line_idx) longs and a per-doc removed-index
+    array; the winner per line is a partial-aggregating min, not a
+    window, so hot boilerplate lines cannot pin a reducer."""
+    from epstein_pipeline_spark.operators.line_dedup import dedup_lines
+
+    out = dedup_lines(_docs(spark, sf))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_hash"),
+    )
+
+
+O_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, greatest((len(toks) + 9) // 10, 1) AS nseg FROM d
+), seg AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(toks[i*10+1:i*10+10], ' ') AS line
+  FROM s, unnest(generate_series(0, nseg - 1)) AS u(i)
+), occ AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE rn > 1) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '')) AS cleaned_hash
+FROM occ
+GROUP BY doc_id
+"""
+
+
+from epstein_pipeline_spark.functions.text import (  # noqa: E402 — single gate-word source
+    GOPHER_STOPWORDS as _GOPHER_STOPS,
+)
+
+
+def q_gopher_gates(spark, sf):
+    """Gopher-rule document gates (Rae et al. 2021, §A.1.1 — the
+    standard pre-training quality filters): word-count bounds
+    [50, 100000], mean word length [3, 10], symbol-word ratio
+    (# / ellipsis) <= 0.1, >= 80% words containing an alphabetic
+    character, and >= 2 distinct stopwords present. One boolean per
+    gate plus the conjunction — the columns a curation pipeline
+    filters and audits on.
+
+    Scale shape: pure per-row array/scalar expressions over the scan —
+    zero shuffles, whole-stage codegen end to end; mean word length is
+    derived from (chars, words) counts rather than a per-token
+    aggregate so no higher-order fold runs per row."""
+    from epstein_pipeline_spark.functions.text import gopher_gates
+
+    return gopher_gates(_docs(spark, sf))
+
+
+O_GOPHER_GATES = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_DUCK.format(c='text')} AS norm FROM documents
+), c AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks,
+         len(string_split(norm, ' ')) AS n_words
+  FROM d
+), m AS (
+  SELECT doc_id, n_words,
+         CAST(length(norm) - (n_words - 1) AS DOUBLE) / n_words AS mean_wl,
+         CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE) / n_words AS sym_frac,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_words AS alpha_frac,
+         len(list_intersect(list_distinct(toks), {_duck_list(_GOPHER_STOPS)})) AS stop_hits
+  FROM c
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 4) AS mean_word_len,
+       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS pass_mean_word_len,
+       (sym_frac <= 0.1) AS pass_symbol_ratio,
+       (alpha_frac >= 0.8) AS pass_alpha_words,
+       (stop_hits >= 2) AS pass_stopwords,
+       ((n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (sym_frac <= 0.1) AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS pass_all
+FROM m
+"""
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
     "ocr_chain_select": q_ocr_chain_select,
@@ -1905,6 +2004,8 @@ QUERIES = {
     "url_canonical_dup": q_url_canonical_dup,
     "dup_span_stats": q_dup_span_stats,
     "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
+    "gopher_gates": q_gopher_gates,
 }
 
 ORACLES = {
@@ -1952,6 +2053,8 @@ ORACLES = {
     "url_canonical_dup": O_URL_CANONICAL_DUP,
     "dup_span_stats": O_DUP_SPAN_STATS,
     "pii_redact": O_PII_REDACT,
+    "line_dedup": O_LINE_DEDUP,
+    "gopher_gates": O_GOPHER_GATES,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }

@@ -258,3 +258,61 @@ def rolling_fingerprint_expr(col: Column | str, n: int = 3) -> Column:
     1-perm MinHash). md5 is available in both Spark and DuckDB so the
     oracle can reproduce it exactly."""
     return F.array_min(F.transform(word_ngrams(col, n), lambda g: F.md5(g)))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_gates(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-rule document quality gates (Rae et al. 2021, §A.1.1):
+    word count in [50, 100000], mean word length in [3, 10],
+    symbol-to-word ratio (# / '...') <= 0.1, >= 80% of words contain
+    an alphabetic character, >= 2 distinct stopwords present. Returns
+    one boolean per gate plus the conjunction (``pass_all``) — the
+    audit columns a curation pipeline filters on before training.
+
+    All gates are per-row scalar/array expressions over the scan (no
+    shuffle, whole-stage codegen); mean word length comes from the
+    (chars, words) identity len(norm) = sum(len(word)) + (n_words-1)
+    so no per-token fold runs."""
+    norm = normalize_text_expr(text_col)
+    d = docs.select(F.col(id_col), norm.alias("__norm")).withColumn(
+        "__toks", F.split(F.col("__norm"), " ")
+    )
+    n_words = F.size("__toks")
+    mean_wl = (F.length("__norm") - (n_words - F.lit(1))).cast("double") / n_words
+    sym_frac = (
+        F.size(F.filter(F.col("__toks"), lambda t: t.contains("#") | t.contains("...")))
+        .cast("double")
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("__toks"), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    g_words = (n_words >= 50) & (n_words <= 100_000)
+    g_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    g_sym = sym_frac <= 0.1
+    g_alpha = alpha_frac >= 0.8
+    g_stop = stop_hits >= 2
+    return d.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        g_words.alias("pass_word_count"),
+        g_wl.alias("pass_mean_word_len"),
+        g_sym.alias("pass_symbol_ratio"),
+        g_alpha.alias("pass_alpha_words"),
+        g_stop.alias("pass_stopwords"),
+        (g_words & g_wl & g_sym & g_alpha & g_stop).alias("pass_all"),
+    )
