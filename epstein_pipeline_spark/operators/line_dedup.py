@@ -16,13 +16,9 @@ Semantics (matched by the DuckDB oracle in entry_queries):
 - each doc's cleaned text is its surviving lines re-joined in order
   (empty string when everything was removed — e.g. an exact dup doc).
 
-Scale shape (the part that matters at 10^12 pages): document text
-NEVER shuffles. The only wide exchanges carry
-
-  occ     = (line_hash: long, doc_id, line_idx)       [one groupBy]
-  removed = (doc_id, removed line_idx array)          [one small join]
-
-The winner per line is ``min(struct(doc_id, line_idx))`` via an
+Scale shape (the part that matters at 10^12 pages): the line-identity
+exchange carries ONLY (line_hash: long, doc_id, line_idx) — never
+text. The winner per line is ``min(struct(doc_id, line_idx))`` via an
 aggregate, NOT a row_number window: partial aggregation (map-side
 combine) absorbs hot-line skew — a boilerplate line repeated 10^9
 times combines down to one row per map task, where a window would pin
@@ -30,8 +26,11 @@ all 10^9 occurrences on one reducer and no AQE split can save it
 (windows cannot be split; joins and partial aggs can). The cleaned
 text is rebuilt IN PLACE on the scan side by excising removed segment
 indices with array expressions, so the join back to documents carries
-only (doc_id, array<int>) — broadcast-sized at realistic dup rates,
-and AQE-skew-splittable when it is not.
+only (doc_id, array<int>) rows for docs that actually lost lines —
+broadcast while that set fits (the gate below, same convention as
+dup_spans/decontam), in which case document text crosses ZERO
+exchanges; on the shuffled fallback the corpus pays exactly one
+id-keyed exchange and the hash-keyed exchanges still carry longs.
 
 Hash note: line identity uses xxhash64 on the segment text. 64-bit is
 fine to ~10^9 distinct lines; at true trillion-line scale switch the
@@ -62,11 +61,19 @@ def dedup_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_tokens: int = 10,
+    removed_docs_hint: int | None = None,
+    broadcast_max_docs: int = 1_000_000,
 ) -> DataFrame:
     """Remove all-but-first occurrences of corpus-repeated lines.
 
     Returns (id_col, n_lines, n_removed, cleaned_text) — one row per
     input doc, surviving lines re-joined with single spaces.
+
+    ``removed_docs_hint`` skips the eager broadcast-gate probe on the
+    removed-lines side (pass a known bound to stay fully lazy; the
+    default path runs one approx_count_distinct job at call time —
+    the dup_spans/salted_block_join convention); ``broadcast_max_docs=0``
+    forces the shuffled join.
     """
     seg = int(seg_tokens)
     base = docs.select(
@@ -115,6 +122,15 @@ def dedup_lines(
             F.count("*").alias("n_removed"),
         )
     )
+
+    if broadcast_max_docs > 0:
+        n_removed_docs = (
+            removed_docs_hint
+            if removed_docs_hint is not None
+            else removed.agg(F.approx_count_distinct(id_col).alias("n")).collect()[0]["n"]
+        )
+        if n_removed_docs <= broadcast_max_docs:
+            removed = F.broadcast(removed)
 
     kept_idx = F.filter(
         F.sequence(F.lit(0), F.col("n_seg") - 1),

@@ -190,6 +190,81 @@ def cmd_dedup_spans(args) -> None:
     )
 
 
+def cmd_dedup_lines(args) -> None:
+    """Cross-corpus line-level dedup (C4 §2.2 / CCNet): every
+    ``--seg-tokens``-token line occurring >= 2 times corpus-wide keeps
+    only its first (id, line_idx) occurrence. Writes the cleaned
+    corpus and prints removal stats."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from epstein_pipeline_spark.operators.line_dedup import dedup_lines
+
+    spark = SparkSession.builder.appName(
+        "epstein_pipeline_spark.dedup_lines"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    corpus = spark.read.parquet(args.input)
+    t0 = time.time()
+    out = dedup_lines(
+        corpus,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        seg_tokens=args.seg_tokens,
+    ).localCheckpoint()  # one execution for the write + the stats agg
+    out.write.mode("overwrite").parquet(args.output)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("n_removed") > 0).cast("int")).alias("docs_cleaned"),
+        F.sum("n_lines").alias("lines_in"),
+        F.sum("n_removed").alias("lines_removed"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs": stats["docs"],
+                "docs_cleaned": stats["docs_cleaned"],
+                "lines_in": stats["lines_in"],
+                "lines_removed": stats["lines_removed"],
+                "seg_tokens": args.seg_tokens,
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+def cmd_curate(args) -> None:
+    """One-pass training-corpus curation: Gopher gates -> cross-corpus
+    line dedup -> PII masking -> exact content dedup (plans/curate.py
+    has the ordering/scale rationale). Writes the curated corpus (and
+    optionally the full audit frame) and prints per-stage counters."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from epstein_pipeline_spark.plans.curate import curate_corpus, curation_stats
+
+    spark = SparkSession.builder.appName(
+        "epstein_pipeline_spark.curate"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    corpus = spark.read.parquet(args.input)
+    t0 = time.time()
+    audit = curate_corpus(
+        corpus,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        seg_tokens=args.seg_tokens,
+    ).localCheckpoint()  # one execution shared by write + stats + audit
+    audit.filter(F.col("drop_stage").isNull()).drop("drop_stage").write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    if args.audit:
+        audit.write.mode("overwrite").parquet(args.audit)
+    stats = curation_stats(audit)
+    stats["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+
+
 def cmd_snapshots(args) -> None:
     """Print a stage's publish-ordered snapshot history from the
     metadata log (Iceberg `table.snapshots()` analog) — pyspark-free
@@ -525,6 +600,29 @@ def main(argv: list[str] | None = None) -> None:
     ds.add_argument("--id-col", default="url")
     ds.add_argument("--text-col", default="text")
     ds.set_defaults(fn=cmd_dedup_spans)
+
+    dl = sub.add_parser(
+        "dedup-lines",
+        help="remove corpus-wide repeated lines, keeping first occurrences (C4/CCNet)",
+    )
+    dl.add_argument("--input", required=True, help="corpus parquet")
+    dl.add_argument("--output", required=True, help="cleaned corpus parquet")
+    dl.add_argument("--seg-tokens", type=int, default=10)
+    dl.add_argument("--id-col", default="url")
+    dl.add_argument("--text-col", default="text")
+    dl.set_defaults(fn=cmd_dedup_lines)
+
+    cu = sub.add_parser(
+        "curate",
+        help="full curation pass: Gopher gates, line dedup, PII mask, exact dedup",
+    )
+    cu.add_argument("--input", required=True, help="corpus parquet")
+    cu.add_argument("--output", required=True, help="curated corpus parquet")
+    cu.add_argument("--audit", default=None, help="optional audit-frame parquet (all docs + drop_stage)")
+    cu.add_argument("--seg-tokens", type=int, default=10)
+    cu.add_argument("--id-col", default="url")
+    cu.add_argument("--text-col", default="text")
+    cu.set_defaults(fn=cmd_curate)
 
     sn = sub.add_parser("snapshots", help="print a stage's snapshot history (time-travel log)")
     sn.add_argument("--store", required=True)

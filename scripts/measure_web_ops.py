@@ -24,7 +24,9 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OPS = ("pii", "decontam", "dup_spans")
+OPS = tuple(
+    os.environ.get("BENCH_WEB_OPS", "pii,decontam,dup_spans,line_dedup,gopher").split(",")
+)
 CORES_LO = int(os.environ.get("BENCH_CORES_LO", "1"))
 CORES_HI = int(os.environ.get("BENCH_CORES_HI", "4"))
 
@@ -58,6 +60,14 @@ def _op_df(spark, op: str, corpus_dir: str):
         return repeated_span_stats(
             corpus, id_col="url", text_col="text", n=50, dup_grams_hint=5_000_000
         )
+    if op == "line_dedup":
+        from epstein_pipeline_spark.operators.line_dedup import dedup_lines
+
+        return dedup_lines(corpus, id_col="url", text_col="text")
+    if op == "gopher":
+        from epstein_pipeline_spark.functions.text import gopher_gates
+
+        return gopher_gates(corpus, id_col="url", text_col="text")
     raise SystemExit(f"unknown op {op}")
 
 
