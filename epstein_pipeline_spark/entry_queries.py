@@ -1959,6 +1959,64 @@ FROM m
 """
 
 
+def q_corpus_mix(spark, sf):
+    """Deterministic corpus mixing to per-source token budgets (the
+    Dolma/RedPajama data-mixing step: fill each source's share of the
+    training mix with a reproducible pseudo-random document order).
+    Docs are ordered within source by xxhash64(doc_id) — stable across
+    runs and cluster layouts, no RNG — and taken while the running
+    token count stays inside the source's budget (here 3000 tokens per
+    source, derived in-query; a real run passes a budgets table).
+    Output: the selected docs with their position and cumulative
+    token count.
+
+    Scale shape: one shuffle on source + an in-partition sort for the
+    window. This exact form is the AUDIT query; at 10^12 docs with hot
+    sources, replace the global per-source sort with hash-threshold
+    selection (keep docs with hash < t, binary-search t over an
+    approx-quantile of per-doc token counts) — same determinism, no
+    sort; the window form stays correct for per-source audits where
+    one source fits a partition. xxhash64 seeds differ from DuckDB's
+    hash, so the order key is md5(doc_id) here — bit-identical in both
+    engines (the determinism, not the hash brand, is the contract)."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.size(F.split(_norm("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = d.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "pos", F.count(F.lit(1)).over(w).cast("long")
+    )
+    return ranked.filter(F.col("cum_tokens") <= 600).select(
+        "doc_id", "source", "n_tokens", "pos", "cum_tokens"
+    )
+
+
+O_CORPUS_MIX = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM_DUCK.format(c='text')}, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord_key, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         count(*) OVER (PARTITION BY source ORDER BY ord_key, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos
+  FROM d
+)
+SELECT doc_id, source, n_tokens, pos, cum_tokens
+FROM r WHERE cum_tokens <= 600
+"""
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
     "ocr_chain_select": q_ocr_chain_select,
@@ -2006,6 +2064,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
     "gopher_gates": q_gopher_gates,
+    "corpus_mix": q_corpus_mix,
 }
 
 ORACLES = {
@@ -2055,6 +2114,7 @@ ORACLES = {
     "pii_redact": O_PII_REDACT,
     "line_dedup": O_LINE_DEDUP,
     "gopher_gates": O_GOPHER_GATES,
+    "corpus_mix": O_CORPUS_MIX,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }
