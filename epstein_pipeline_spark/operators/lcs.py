@@ -115,12 +115,27 @@ def lcs_verify(
     cfg: DedupConfig,
     id_col: str = "url",
     text_col: str = "text",
+    kernel: str = "rolling_hash",
 ) -> DataFrame:
     """Filter candidate pairs by the LCS ratio; adds lcs_ratio column.
 
     Exact-method pairs skip the check (identical normalized content).
     Texts are truncated to cfg.lcs_max_chars for bounded per-pair cost.
+
+    ``kernel``: 'rolling_hash' (default, vectorized binary search) or
+    'suffix_array' (the literal north-rule form, functions/
+    suffixarray.py) — parity-pinned to each other and to the DP oracle
+    in tests; both run inside the same mapInPandas, so the plan is
+    identical either way.
     """
+    if kernel == "rolling_hash":
+        lcs_fn = py_lcs_length
+    elif kernel == "suffix_array":
+        from epstein_pipeline_spark.functions.suffixarray import py_lcs_suffix_array
+
+        lcs_fn = py_lcs_suffix_array
+    else:
+        raise ValueError(f"kernel must be 'rolling_hash' or 'suffix_array', got {kernel!r}")
     t = docs.select(
         F.col(id_col).alias("url"), F.substring(F.col(text_col), 1, cfg.lcs_max_chars).alias("_t")
     )
@@ -148,7 +163,7 @@ def lcs_verify(
             for i, (m, t1, t2) in enumerate(zip(pdf["method"], pdf["_t1"], pdf["_t2"])):
                 if m == "exact" or not t1 or not t2:
                     continue
-                lcs = py_lcs_length(t1, t2)
+                lcs = lcs_fn(t1, t2)
                 ratios[i] = lcs / max(1, min(len(t1), len(t2)))
             out = pdf.drop(columns=["_t1", "_t2"]).assign(lcs_ratio=ratios)
             yield out[out["lcs_ratio"] >= min_ratio]

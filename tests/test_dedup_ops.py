@@ -116,3 +116,24 @@ def test_lcs_rescues_boilerplate_wrapped(spark):
     )
     got = lcs_rescue(gray, docs, CFG).collect()
     assert [(r["url1"], r["url2"], r["method"]) for r in got] == [("a", "b", "lcs")]
+
+
+def test_lcs_verify_suffix_array_kernel_parity(spark):
+    """lcs_verify(kernel='suffix_array') — the literal north-rule
+    stage-3 form — keeps exactly the same pairs with exactly the same
+    ratios as the default rolling-hash kernel."""
+    from epstein_pipeline_spark.operators.lcs import lcs_verify
+
+    body = LONG_A
+    wrapped = "MENU home about contact\n\n" + body + "\n\nCopyright 2031 footer links"
+    docs = _docs(spark, [("a", body), ("b", wrapped), ("c", UNRELATED)])
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.7, "gray"), ("a", "c", 0.7, "gray"), ("b", "c", 1.0, "exact")],
+        "url1 string, url2 string, score double, method string",
+    )
+    rh = {(r["url1"], r["url2"]): r["lcs_ratio"] for r in lcs_verify(pairs, docs, CFG).collect()}
+    sa = {
+        (r["url1"], r["url2"]): r["lcs_ratio"]
+        for r in lcs_verify(pairs, docs, CFG, kernel="suffix_array").collect()
+    }
+    assert rh == sa and ("a", "b") in rh and ("a", "c") not in rh

@@ -32,6 +32,27 @@ def test_lcs_hash_binary_search_equals_dp(a, b):
 
 @given(text_st, text_st)
 @settings(max_examples=150, deadline=None)
+def test_lcs_suffix_array_equals_dp_and_hash(a, b):
+    """The literal north-rule kernel (SA by prefix doubling + Kasai
+    LCP) agrees with the DP oracle AND the rolling-hash default on
+    every input — including multi-byte UTF-8 (both operate on bytes,
+    so byte-LCS == byte-LCS)."""
+    from epstein_pipeline_spark.functions.suffixarray import py_lcs_suffix_array
+
+    got = py_lcs_suffix_array(a, b)
+    assert got == py_lcs_dp(a, b) == py_lcs_length(a, b)
+
+
+@given(st.text(alphabet="ab€ñ", max_size=60), st.text(alphabet="ab€ñ", max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_lcs_suffix_array_multibyte_parity(a, b):
+    from epstein_pipeline_spark.functions.suffixarray import py_lcs_suffix_array
+
+    assert py_lcs_suffix_array(a, b) == py_lcs_length(a, b)
+
+
+@given(text_st, text_st)
+@settings(max_examples=150, deadline=None)
 def test_jaro_winkler_matches_duckdb_prop(a, b):
     con = duckdb.connect()
     d = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
