@@ -2017,6 +2017,61 @@ FROM r WHERE cum_tokens <= 600
 """
 
 
+def q_unigram_freq_scores(spark, sf):
+    """Corpus-statistics quality score (the CCNet perplexity-filter
+    stand-in without an external LM): score each doc by how typical
+    its tokens are under the corpus's own unigram distribution. A doc
+    of common words scores high; OCR noise / gibberish scores low.
+    Outputs stay INTEGER-exact (sum of global token counts + token
+    count) with one final long/long division, so the cross-engine hash
+    can't drift through float summation order or libm log ulps.
+
+    Scale shape: token counts are a partial-aggregating groupBy (Zipf
+    skew combines map-side); the count table joins back token->count —
+    broadcast at real vocabulary sizes (10^6 rows), AQE-skew-split on
+    the shuffled fallback; per-doc rollup is one groupBy on doc_id
+    carrying two longs."""
+    toks = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split(_norm("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    per_doc = (
+        toks.join(F.broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("sum_tok_count"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_tok_count",
+        F.round(
+            F.col("sum_tok_count").cast("double")
+            / (F.col("n_tokens") * F.col("total")).cast("double"),
+            12,
+        ).alias("mean_tok_freq"),
+    )
+
+
+O_UNIGRAM_FREQ = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK.format(c='text')}, ' ')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, count(*) AS c FROM t GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM c
+), p AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS sum_tok_count
+  FROM t JOIN c USING (tok)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_tok_count,
+       round(CAST(sum_tok_count AS DOUBLE) / CAST(n_tokens * total AS DOUBLE), 12) AS mean_tok_freq
+FROM p, tot
+"""
+
+
 QUERIES = {
     "norm_hash": q_norm_hash,
     "ocr_chain_select": q_ocr_chain_select,
@@ -2065,6 +2120,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "gopher_gates": q_gopher_gates,
     "corpus_mix": q_corpus_mix,
+    "unigram_freq_scores": q_unigram_freq_scores,
 }
 
 ORACLES = {
@@ -2115,6 +2171,7 @@ ORACLES = {
     "line_dedup": O_LINE_DEDUP,
     "gopher_gates": O_GOPHER_GATES,
     "corpus_mix": O_CORPUS_MIX,
+    "unigram_freq_scores": O_UNIGRAM_FREQ,
     # minhash/simhash/dedup_clusters_planted: pandas-UDF signatures and
     # an iterative CC loop — not SQL-expressible; rows-only checks
 }

@@ -68,6 +68,15 @@ def _op_df(spark, op: str, corpus_dir: str):
         from epstein_pipeline_spark.functions.text import gopher_gates
 
         return gopher_gates(corpus, id_col="url", text_col="text")
+    if op == "curate":
+        from epstein_pipeline_spark.plans.curate import curate_corpus
+
+        # hints keep the composition lazy so the timed write is the
+        # honest one-pass cost (no call-time probe jobs)
+        return curate_corpus(
+            corpus, id_col="url", text_col="text",
+            removed_docs_hint=50_000, dup_hashes_hint=50_000,
+        )
     raise SystemExit(f"unknown op {op}")
 
 
