@@ -44,10 +44,10 @@ extension SURVEY §2.9 calls for (training-data ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_lines"]
+__all__ = ["dedup_lines", "dedup_lines_incremental"]
 
 
 def _norm(col):
@@ -76,30 +76,8 @@ def dedup_lines(
     forces the shuffled join.
     """
     seg = int(seg_tokens)
-    base = docs.select(
-        F.col(id_col),
-        F.split(_norm(text_col), " ").alias("toks"),
-    ).withColumn(
-        "n_seg",
-        F.greatest(
-            ((F.size("toks") + F.lit(seg - 1)) / F.lit(seg)).cast("int"), F.lit(1)
-        ),
-    )
-
-    line_at = lambda i: F.concat_ws(  # noqa: E731 — segment i of the token stream
-        " ", F.slice(F.col("toks"), i * seg + 1, seg)
-    )
-
-    # occurrence table: hashes only, text stays on the scan side
-    occ = base.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.col("n_seg") - 1)).alias("line_idx"),
-        F.col("toks"),
-    ).select(
-        F.col(id_col),
-        "line_idx",
-        F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), F.col("line_idx") * seg + 1, seg))).alias("lh"),
-    )
+    base = _tokenized(docs, id_col, text_col, seg)
+    occ = _occurrences(base, id_col, seg)
 
     # winner per repeated line via partial-aggregating min (skew-safe;
     # see module docstring for why this is not a row_number window)
@@ -132,18 +110,147 @@ def dedup_lines(
         if n_removed_docs <= broadcast_max_docs:
             removed = F.broadcast(removed)
 
+    return _rebuild(base, removed, id_col, seg)
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str, seg: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.split(_norm(text_col), " ").alias("toks"),
+    ).withColumn(
+        "n_seg",
+        F.greatest(
+            ((F.size("toks") + F.lit(seg - 1)) / F.lit(seg)).cast("int"), F.lit(1)
+        ),
+    )
+
+
+def _occurrences(base: DataFrame, id_col: str, seg: int) -> DataFrame:
+    """(id, line_idx, lh) — hashes only, text stays on the scan side."""
+    return base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("n_seg") - 1)).alias("line_idx"),
+        F.col("toks"),
+    ).select(
+        F.col(id_col),
+        "line_idx",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("line_idx") * seg + 1, seg))
+        ).alias("lh"),
+    )
+
+
+def _rebuild(base: DataFrame, removed: DataFrame, id_col: str, seg: int) -> DataFrame:
+    """Join the per-doc removed-index arrays back and excise those
+    segments from the in-place token stream."""
+    line_at = lambda i: F.concat_ws(  # noqa: E731 — segment i of the token stream
+        " ", F.slice(F.col("toks"), i * seg + 1, seg)
+    )
     kept_idx = F.filter(
         F.sequence(F.lit(0), F.col("n_seg") - 1),
         lambda i: ~F.array_contains(F.coalesce(F.col("removed_idx"), F.array()), i),
     )
     cleaned = F.concat_ws(" ", F.transform(kept_idx, line_at))
+    return base.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_seg").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+        cleaned.alias("cleaned_text"),
+    )
 
-    return (
-        base.join(removed, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_seg").cast("long").alias("n_lines"),
-            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
-            cleaned.alias("cleaned_text"),
+
+def dedup_lines_incremental(
+    store,
+    delta: DataFrame,
+    *,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    seen_stage: str = "line_seen",
+    broadcast_max: int = 1_000_000,
+) -> DataFrame:
+    """Fold a delta batch into persistent seen-line state (CCNet-style
+    hash memory) and return the delta's cleaned docs.
+
+    Semantics: keep-first in BATCH-COMMIT order — a line already in
+    the ``seen_stage`` state removes every delta occurrence; lines new
+    to the corpus keep their min-(id, line_idx) occurrence within the
+    delta (so folding batches whose id ranges are increasing equals
+    the one-shot ``dedup_lines``; the parity test pins this).
+
+    Crash-rerun idempotency rides the StageStore metadata log: each
+    fold appends the delta's new distinct line hashes with the caller's
+    ``batch_id`` in the manifest. A rerun of an already-committed batch
+    is detected there and re-cleans against the PRE-batch state via
+    ``read(as_of=parent_snapshot)`` (time-travel) WITHOUT appending —
+    otherwise the rerun would see the delta's own lines as "seen" and
+    wipe every doc.
+
+    Scale shape: the seen state can be enormous (every distinct line
+    ever), so the delta never joins it raw — the big side is first
+    semi-joined down to the delta's own line-hash set, which is
+    BROADCAST while it fits (``broadcast_max``, the run_incremental
+    delta-derived-broadcast convention; shuffled fallback past it).
+    The state append carries only new int64 hashes.
+    """
+    spark: SparkSession = delta.sparkSession
+    seg = int(seg_tokens)
+    base = _tokenized(delta, id_col, text_col, seg)
+    occ = _occurrences(base, id_col, seg)
+
+    latest = store.latest(seen_stage)
+    rerun = latest is not None and latest.get("line_batch_id") == batch_id
+    if rerun:
+        parent = latest.get("parent_snapshot")
+        seen = (
+            store.read(spark, seen_stage, as_of=parent)
+            if parent is not None
+            else spark.createDataFrame([], "lh long")
+        )
+    elif latest is not None:
+        seen = store.read(spark, seen_stage)
+    else:
+        seen = spark.createDataFrame([], "lh long")
+
+    delta_lhs = occ.select("lh").distinct()
+    if broadcast_max > 0:
+        n_lhs = delta_lhs.agg(F.approx_count_distinct("lh").alias("n")).collect()[0]["n"]
+        if n_lhs <= broadcast_max:
+            delta_lhs = F.broadcast(delta_lhs)
+    seen_touched = seen.join(delta_lhs, "lh", "left_semi")
+
+    occ_seen = occ.join(seen_touched, "lh", "left_semi")
+    occ_new = occ.join(seen_touched, "lh", "left_anti")
+    winners_new = (
+        occ_new.groupBy("lh")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("first_occ"),
+            F.count("*").alias("occs"),
+        )
+        .filter(F.col("occs") >= 2)
+        .select("lh", "first_occ")
+    )
+    losers_new = (
+        occ_new.join(winners_new, "lh")
+        .filter(F.struct(F.col(id_col), F.col("line_idx")) != F.col("first_occ"))
+        .select(id_col, "line_idx")
+    )
+    removed = (
+        occ_seen.select(id_col, "line_idx")
+        .unionByName(losers_new)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("line_idx").alias("removed_idx"),
+            F.count("*").alias("n_removed"),
         )
     )
+
+    if not rerun:
+        store.append(
+            seen_stage,
+            occ_new.select("lh").distinct(),
+            counters={"batch_docs": delta.count()},
+            extra={"line_batch_id": batch_id},
+        )
+    return _rebuild(base, removed, id_col, seg)
