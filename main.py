@@ -198,7 +198,10 @@ def cmd_dedup_lines(args) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from epstein_pipeline_spark.operators.line_dedup import dedup_lines
+    from epstein_pipeline_spark.operators.line_dedup import (
+        dedup_lines,
+        dedup_lines_incremental,
+    )
 
     spark = SparkSession.builder.appName(
         "epstein_pipeline_spark.dedup_lines"
@@ -206,12 +209,24 @@ def cmd_dedup_lines(args) -> None:
     spark.sparkContext.setLogLevel("WARN")
     corpus = spark.read.parquet(args.input)
     t0 = time.time()
-    out = dedup_lines(
-        corpus,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        seg_tokens=args.seg_tokens,
-    ).localCheckpoint()  # one execution for the write + the stats agg
+    if args.store:
+        from epstein_pipeline_spark.plans.checkpoint import StageStore
+
+        out = dedup_lines_incremental(
+            StageStore(args.store),
+            corpus,
+            batch_id=args.batch_id or args.input,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            seg_tokens=args.seg_tokens,
+        ).localCheckpoint()
+    else:
+        out = dedup_lines(
+            corpus,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            seg_tokens=args.seg_tokens,
+        ).localCheckpoint()  # one execution for the write + the stats agg
     out.write.mode("overwrite").parquet(args.output)
     stats = out.agg(
         F.count(F.lit(1)).alias("docs"),
@@ -610,6 +625,14 @@ def main(argv: list[str] | None = None) -> None:
     dl.add_argument("--seg-tokens", type=int, default=10)
     dl.add_argument("--id-col", default="url")
     dl.add_argument("--text-col", default="text")
+    dl.add_argument(
+        "--store",
+        default=None,
+        help="StageStore root for INCREMENTAL mode: seen-line state persists "
+        "across batches ('line_seen' stage); reruns of the same --batch-id "
+        "are idempotent",
+    )
+    dl.add_argument("--batch-id", default=None, help="batch id (default: --input path)")
     dl.set_defaults(fn=cmd_dedup_lines)
 
     cu = sub.add_parser(

@@ -121,7 +121,8 @@ def test_cli_dedup_lines_roundtrip(spark, tmp_path, capsys):
     spark.createDataFrame(rows, "url string, text string").write.parquet(src)
     cli.cmd_dedup_lines(
         argparse.Namespace(
-            input=src, output=dst, seg_tokens=10, id_col="url", text_col="text"
+            input=src, output=dst, seg_tokens=10, id_col="url", text_col="text",
+            store=None, batch_id=None,
         )
     )
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -96,3 +96,44 @@ def test_forced_shuffle_seen_path_matches(spark, store, tmp_path):
         store2, _df(spark, b2), batch_id="b", broadcast_max=0
     ).collect()}
     assert fast == slow
+
+
+def test_cli_incremental_two_batches(spark, store, tmp_path, capsys):
+    """main.py dedup-lines --store: state persists across invocations;
+    the second batch loses its cross-batch dup line."""
+    import argparse
+    import json
+
+    import main as cli
+
+    def run(rows, name):
+        src = str(tmp_path / name)
+        dst = str(tmp_path / f"{name}_out")
+        _df(spark, rows).write.parquet(src)
+        cli.cmd_dedup_lines(
+            argparse.Namespace(
+                input=src, output=dst, seg_tokens=10, id_col="doc_id",
+                text_col="text", store=str(store.root), batch_id=name,
+            )
+        )
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    s1 = run([(1, f"{BLOCK} {_uniq(1)}")], "batch1")
+    s2 = run([(2, f"{BLOCK} {_uniq(2)}")], "batch2")
+    assert s1["lines_removed"] == 0
+    assert s2["lines_removed"] == 1
+
+
+def test_compact_preserves_seen_state(spark, store):
+    """StageStore.compact on the append-chained line_seen stage must
+    not change the seen-hash set (the next batch behaves identically)."""
+    dedup_lines_incremental(store, _df(spark, [(1, f"{BLOCK} {_uniq(1)}")]), batch_id="a")
+    dedup_lines_incremental(store, _df(spark, [(2, _uniq(2, 20))]), batch_id="b")
+    before = {r["lh"] for r in store.read(spark, "line_seen").collect()}
+    store.compact(spark, "line_seen")
+    after = {r["lh"] for r in store.read(spark, "line_seen").collect()}
+    assert after == before
+    out = dedup_lines_incremental(
+        store, _df(spark, [(3, f"{BLOCK} {_uniq(3)}")]), batch_id="c"
+    ).collect()[0]
+    assert out["n_removed"] == 1  # BLOCK still remembered post-compaction
