@@ -168,6 +168,7 @@ def dedup_lines_incremental(
     text_col: str = "text",
     seg_tokens: int = 10,
     seen_stage: str = "line_seen",
+    delta_lhs_hint: int | None = None,
     broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """Fold a delta batch into persistent seen-line state (CCNet-style
@@ -215,7 +216,11 @@ def dedup_lines_incremental(
 
     delta_lhs = occ.select("lh").distinct()
     if broadcast_max > 0:
-        n_lhs = delta_lhs.agg(F.approx_count_distinct("lh").alias("n")).collect()[0]["n"]
+        n_lhs = (
+            delta_lhs_hint
+            if delta_lhs_hint is not None
+            else delta_lhs.agg(F.approx_count_distinct("lh").alias("n")).collect()[0]["n"]
+        )
         if n_lhs <= broadcast_max:
             delta_lhs = F.broadcast(delta_lhs)
     seen_touched = seen.join(delta_lhs, "lh", "left_semi")
@@ -247,10 +252,12 @@ def dedup_lines_incremental(
     )
 
     if not rerun:
+        # no counters action here: delta_rows in the append manifest
+        # already records the new-line count; an extra delta.count()
+        # would re-execute the delta scan for a number we have
         store.append(
             seen_stage,
             occ_new.select("lh").distinct(),
-            counters={"batch_docs": delta.count()},
             extra={"line_batch_id": batch_id},
         )
     return _rebuild(base, removed, id_col, seg)
