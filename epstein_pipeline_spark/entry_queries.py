@@ -1965,7 +1965,7 @@ def q_corpus_mix(spark, sf):
     training mix with a reproducible pseudo-random document order).
     Docs are ordered within source by xxhash64(doc_id) — stable across
     runs and cluster layouts, no RNG — and taken while the running
-    token count stays inside the source's budget (here 3000 tokens per
+    token count stays inside the source's budget (here 600 tokens per
     source, derived in-query; a real run passes a budgets table).
     Output: the selected docs with their position and cumulative
     token count.
@@ -2037,7 +2037,11 @@ def q_unigram_freq_scores(spark, sf):
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
     per_doc = (
-        toks.join(F.broadcast(counts), "tok")
+        # no forced broadcast: AQE broadcasts the count table from real
+        # size stats while the vocabulary fits and falls back to the
+        # (skew-splittable) shuffled join when it doesn't — the gate
+        # behavior the other operators implement by hand
+        toks.join(counts, "tok")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("sum_tok_count"))
     )

@@ -263,6 +263,35 @@ def rolling_fingerprint_expr(col: Column | str, n: int = 3) -> Column:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def gopher_gate_exprs(norm: Column, toks: Column) -> dict[str, Column]:
+    """The five Gopher gate booleans over pre-projected norm/toks
+    columns (project them once per row — callers like gopher_gates and
+    plans/curate reference materialized __norm/__toks columns so the
+    normalize regex doesn't run per gate)."""
+    n_words = F.size(toks)
+    mean_wl = (F.length(norm) - (n_words - F.lit(1))).cast("double") / n_words
+    sym_frac = (
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+        .cast("double")
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    return {
+        "pass_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "pass_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "pass_symbol_ratio": sym_frac <= 0.1,
+        "pass_alpha_words": alpha_frac >= 0.8,
+        "pass_stopwords": stop_hits >= 2,
+    }
+
+
 def gopher_gates(
     docs,
     *,
@@ -284,35 +313,17 @@ def gopher_gates(
     d = docs.select(F.col(id_col), norm.alias("__norm")).withColumn(
         "__toks", F.split(F.col("__norm"), " ")
     )
-    n_words = F.size("__toks")
-    mean_wl = (F.length("__norm") - (n_words - F.lit(1))).cast("double") / n_words
-    sym_frac = (
-        F.size(F.filter(F.col("__toks"), lambda t: t.contains("#") | t.contains("...")))
-        .cast("double")
-        / n_words
-    )
-    alpha_frac = (
-        F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]"))).cast("double")
-        / n_words
-    )
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct("__toks"), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-        )
-    )
-    g_words = (n_words >= 50) & (n_words <= 100_000)
-    g_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
-    g_sym = sym_frac <= 0.1
-    g_alpha = alpha_frac >= 0.8
-    g_stop = stop_hits >= 2
+    norm_c, toks_c = F.col("__norm"), F.col("__toks")
+    gates = gopher_gate_exprs(norm_c, toks_c)
+    n_words = F.size(toks_c)
+    mean_wl = (F.length(norm_c) - (n_words - F.lit(1))).cast("double") / n_words
+    pass_all = None
+    for g in gates.values():
+        pass_all = g if pass_all is None else (pass_all & g)
     return d.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 4).alias("mean_word_len"),
-        g_words.alias("pass_word_count"),
-        g_wl.alias("pass_mean_word_len"),
-        g_sym.alias("pass_symbol_ratio"),
-        g_alpha.alias("pass_alpha_words"),
-        g_stop.alias("pass_stopwords"),
-        (g_words & g_wl & g_sym & g_alpha & g_stop).alias("pass_all"),
+        *[g.alias(name) for name, g in gates.items()],
+        pass_all.alias("pass_all"),
     )

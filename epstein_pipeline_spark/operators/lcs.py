@@ -164,7 +164,11 @@ def lcs_verify(
                 if m == "exact" or not t1 or not t2:
                     continue
                 lcs = lcs_fn(t1, t2)
-                ratios[i] = lcs / max(1, min(len(t1), len(t2)))
+                # both kernels measure the LCS in UTF-8 BYTES; the
+                # denominator must too, or multi-byte text inflates the
+                # ratio past 1.0 (len() counts chars)
+                min_len = min(len(t1.encode("utf-8")), len(t2.encode("utf-8")))
+                ratios[i] = lcs / max(1, min_len)
             out = pdf.drop(columns=["_t1", "_t2"]).assign(lcs_ratio=ratios)
             yield out[out["lcs_ratio"] >= min_ratio]
 

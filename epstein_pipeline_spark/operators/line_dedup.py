@@ -47,12 +47,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from epstein_pipeline_spark.functions.text import normalize_text_expr as _norm
+
 __all__ = ["dedup_lines", "dedup_lines_incremental"]
-
-
-def _norm(col):
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.regexp_replace(F.lower(c), r"(?U)\s+", " "), r"^ | $", "")
 
 
 def dedup_lines(
@@ -183,10 +180,15 @@ def dedup_lines_incremental(
     Crash-rerun idempotency rides the StageStore metadata log: each
     fold appends the delta's new distinct line hashes with the caller's
     ``batch_id`` in the manifest. A rerun of an already-committed batch
-    is detected there and re-cleans against the PRE-batch state via
-    ``read(as_of=parent_snapshot)`` (time-travel) WITHOUT appending —
-    otherwise the rerun would see the delta's own lines as "seen" and
-    wipe every doc.
+    — the latest OR any earlier one (the whole log is scanned, not just
+    the head) — is detected there and re-cleans against the PRE-batch
+    state via ``read(as_of=parent_snapshot)`` (time-travel) WITHOUT
+    appending; otherwise the rerun would see the delta's own lines as
+    "seen" and wipe every doc. Detection reads the ORIGINAL fold
+    manifest from the log, so it survives compaction rewriting the
+    head; if snapshot expiry has deleted the pre-batch files, the
+    rerun raises (the expired snapshot is named) rather than silently
+    producing a different cleaning than the original fold did.
 
     Scale shape: the seen state can be enormous (every distinct line
     ever), so the delta never joins it raw — the big side is first
@@ -201,9 +203,27 @@ def dedup_lines_incremental(
     occ = _occurrences(base, id_col, seg)
 
     latest = store.latest(seen_stage)
-    rerun = latest is not None and latest.get("line_batch_id") == batch_id
+    # scan the WHOLE metadata log, not just the head: a retried
+    # orchestrator may re-submit any earlier committed batch, and
+    # treating it as new would mark every one of its lines "seen" and
+    # wipe its docs
+    folded = next(
+        (
+            m
+            for m in (store.snapshots(seen_stage) if latest is not None else [])
+            if m.get("line_batch_id") == batch_id
+        ),
+        None,
+    )
+    rerun = folded is not None
     if rerun:
-        parent = latest.get("parent_snapshot")
+        # `folded` is the ORIGINAL fold manifest from the log (compact
+        # rewrites the head but never the log history), so its parent
+        # pointer survives compaction; parent None == this was the
+        # first fold onto an empty stage. If expire_snapshots has since
+        # deleted the pre-batch files, read(as_of) raises with the
+        # expired snapshot named — never a silent different cleaning.
+        parent = folded.get("parent_snapshot")
         seen = (
             store.read(spark, seen_stage, as_of=parent)
             if parent is not None
@@ -213,6 +233,13 @@ def dedup_lines_incremental(
         seen = store.read(spark, seen_stage)
     else:
         seen = spark.createDataFrame([], "lh long")
+
+    if not rerun:
+        # the state append below executes an action over occ before
+        # the caller consumes the returned cleaning plan; a lazy local
+        # checkpoint makes that first action materialize the delta's
+        # tokenize/hash work once instead of twice
+        occ = occ.localCheckpoint(eager=False)
 
     delta_lhs = occ.select("lh").distinct()
     if broadcast_max > 0:

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from epstein_pipeline_spark.functions.text import gopher_gates, normalize_text_expr
+from epstein_pipeline_spark.functions.text import (
+    content_hash_expr,
+    gopher_gate_exprs,
+    normalize_text_expr,
+)
 from epstein_pipeline_spark.operators.line_dedup import dedup_lines
 from epstein_pipeline_spark.operators.pii import PII_PATTERNS, redact_pii
 
@@ -53,10 +57,23 @@ def curate_corpus(
 
     drop_stage ∈ {gopher, line_wipe, exact_dup, NULL}.
     """
-    gates = gopher_gates(corpus, id_col=id_col, text_col=text_col).select(
-        id_col, "pass_all"
+    # gates computed INLINE (one projection, zero joins — gopher_gates
+    # as a separate frame would re-join corpus-sized text on id for
+    # per-row scalar work); NULL text coalesces to "" so such docs
+    # fail the word-count gate and land in dropped_gopher instead of
+    # vanishing from the audit frame (NULL comparisons are NULL, which
+    # both filter branches would drop)
+    pre = corpus.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
-    tagged = corpus.select(id_col, text_col).join(gates, id_col)
+    with_cols = pre.withColumn("__norm", normalize_text_expr(text_col)).withColumn(
+        "__toks", F.split(F.col("__norm"), " ")
+    )
+    gates = gopher_gate_exprs(F.col("__norm"), F.col("__toks"))
+    pass_all = None
+    for g in gates.values():
+        pass_all = g if pass_all is None else (pass_all & g)
+    tagged = with_cols.withColumn("pass_all", pass_all).drop("__norm", "__toks")
 
     survivors = tagged.filter(F.col("pass_all"))
     cleaned = dedup_lines(
@@ -84,7 +101,7 @@ def curate_corpus(
     # DUPLICATED hashes (count >= 2) join back — a small fraction of
     # the corpus, broadcast-gated so the text side crosses no exchange
     # on the common path.
-    hashed = masked.withColumn("__h", F.sha2(normalize_text_expr(text_col), 256))
+    hashed = masked.withColumn("__h", content_hash_expr(text_col))
     dup_keepers = (
         hashed.groupBy("__h")
         .agg(F.min(id_col).alias("__keep_id"), F.count("*").alias("__c"))

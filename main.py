@@ -212,10 +212,16 @@ def cmd_dedup_lines(args) -> None:
     if args.store:
         from epstein_pipeline_spark.plans.checkpoint import StageStore
 
+        if not args.batch_id:
+            # a path default would misclassify every later batch
+            # staged at the same fixed path as a rerun of the first
+            # (silently never folding new lines); make callers name
+            # batches explicitly
+            raise SystemExit("dedup-lines: --store requires --batch-id")
         out = dedup_lines_incremental(
             StageStore(args.store),
             corpus,
-            batch_id=args.batch_id or args.input,
+            batch_id=args.batch_id,
             id_col=args.id_col,
             text_col=args.text_col,
             seg_tokens=args.seg_tokens,
@@ -632,7 +638,12 @@ def main(argv: list[str] | None = None) -> None:
         "across batches ('line_seen' stage); reruns of the same --batch-id "
         "are idempotent",
     )
-    dl.add_argument("--batch-id", default=None, help="batch id (default: --input path)")
+    dl.add_argument(
+        "--batch-id",
+        default=None,
+        help="unique batch name, required with --store (reruns of the same "
+        "id are idempotent; a new id folds new lines into state)",
+    )
     dl.set_defaults(fn=cmd_dedup_lines)
 
     cu = sub.add_parser(

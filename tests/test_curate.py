@@ -123,3 +123,16 @@ def test_cli_curate(spark, tmp_path, capsys):
     out = spark.read.parquet(dst)
     assert out.count() == 2 and "drop_stage" not in out.columns
     assert spark.read.parquet(aud).count() == 3
+
+
+def test_null_text_lands_in_gopher_not_lost(spark):
+    """A NULL-text row must appear in the audit frame as a gopher
+    drop, not vanish (NULL gate comparisons would fall out of BOTH
+    filter branches without the coalesce)."""
+    rows = [("u1", _good(1)), ("u2", None)]
+    audit = curate_corpus(_df(spark, rows))
+    got = {r["url"]: r.asDict() for r in audit.collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u2"]["drop_stage"] == "gopher"
+    stats = curation_stats(curate_corpus(_df(spark, rows)))
+    assert stats["docs_in"] == 2 and stats["dropped_gopher"] == 1

@@ -137,3 +137,17 @@ def test_lcs_verify_suffix_array_kernel_parity(spark):
         for r in lcs_verify(pairs, docs, CFG, kernel="suffix_array").collect()
     }
     assert rh == sa and ("a", "b") in rh and ("a", "c") not in rh
+
+
+def test_lcs_ratio_bounded_for_multibyte_text(spark):
+    """Kernels measure LCS in UTF-8 bytes; the ratio denominator must
+    too — a shared accented prefix must never yield lcs_ratio > 1."""
+    from epstein_pipeline_spark.operators.lcs import lcs_verify
+
+    shared = "é" * 80
+    docs = _docs(spark, [("a", shared + " fin une"), ("b", shared + " autre queue")])
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.7, "gray")], "url1 string, url2 string, score double, method string"
+    )
+    got = lcs_verify(pairs, docs, CFG).collect()
+    assert got and 0.0 < got[0]["lcs_ratio"] <= 1.0

@@ -137,3 +137,23 @@ def test_compact_preserves_seen_state(spark, store):
         store, _df(spark, [(3, f"{BLOCK} {_uniq(3)}")]), batch_id="c"
     ).collect()[0]
     assert out["n_removed"] == 1  # BLOCK still remembered post-compaction
+
+
+def test_rerun_of_EARLIER_batch_detected(spark, store):
+    """An orchestrator retry may re-submit any committed batch, not
+    just the latest: the rerun must be detected from the whole
+    metadata log and re-cleaned against THAT batch's pre-state —
+    never treated as new input (which would see its own lines as
+    'seen' and wipe every doc)."""
+    a = [(1, f"{BLOCK} {_uniq(1)}")]
+    first_a = {r["doc_id"]: r for r in dedup_lines_incremental(
+        store, _df(spark, a), batch_id="a"
+    ).collect()}
+    dedup_lines_incremental(store, _df(spark, [(2, _uniq(2, 20))]), batch_id="b")
+    m_before = store.latest("line_seen")
+    again_a = {r["doc_id"]: r for r in dedup_lines_incremental(
+        store, _df(spark, a), batch_id="a"
+    ).collect()}
+    assert again_a == first_a
+    assert again_a[1]["cleaned_text"] != ""      # NOT wiped
+    assert store.latest("line_seen") == m_before  # state untouched
