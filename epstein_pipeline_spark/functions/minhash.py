@@ -106,12 +106,23 @@ def _fold61(y: np.ndarray) -> np.ndarray:
 def make_minhash_udf(k: int = 5, num_perm: int = 128, seed: int = 1):
     """pandas UDF: normalized text -> array<long> signature (128 slots).
 
-    Values fit in int64 (mod 2^61-1 < 2^63).
+    Values fit in int64 (mod 2^61-1 < 2^63). The batch is handed to the
+    compiled kernel (functions/_native.py) when available — bit-exact
+    with the numpy path below (property-tested), ~7x faster: the numpy
+    per-doc (num_perm, n_shingles) broadcast materializes ~8 full
+    passes over a multi-MB temporary per doc (memory-bound), while the
+    C loop keeps the 128 running minima in registers.
     """
     a, b = _perm_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
+        from epstein_pipeline_spark.functions import _native
+
+        enc = [(t or "").encode("utf-8") for t in texts]
+        sigs = _native.minhash_batch(enc, k, a, b, _EMPTY_SIG_SEED)
+        if sigs is not None:
+            return pd.Series(list(sigs))
         out = []
         for t in texts:
             if t is None:

@@ -7,27 +7,65 @@ token features, 4x16-bit band equi-join (pigeonhole: any pair with
 Hamming distance <= 3 shares at least one of 4 bands), then exact
 ``bit_count(s1 ^ s2) <= d`` verification JVM-side.
 
-The signature is a pandas UDF with all inner math vectorized in numpy:
-token feature hashes come from a batch-level vocabulary cache (web text
-has high token reuse), bit contributions via ``np.unpackbits`` and one
-matrix-vector product per document.
-
 Feature weights are log1p-damped counts: raw counts let the shared
 stopword mass dominate the bit sums and unrelated pages collapse into
 the Hamming ball (the published SimHash deployments weight features by
 idf for the same reason — log-damping needs no corpus pass and gives
 the same head-suppression).
+
+Determinism contract (round-6 correctness fix): weights are
+FIXED-POINT INTEGERS (``round(log1p(count) * 2^20)``) and the per-bit
+accumulator is an exact int64 sum, so the signature is a pure function
+of the text — independent of feature order, batch boundaries, BLAS
+kernel selection and host microarchitecture. The previous float
+accumulator (``log1p(w) @ (2*bits-1)``, a BLAS dgemv) produced
+EXACTLY-ZERO sums on structured near-dup corpora (planted case/space
+variants share weight multisets), where the sign — and so the
+signature bit — was decided by the dgemv's summation order. That order
+changes with the BLAS kernel the host's CPU selects, which is why the
+``simhash_dedup_planted`` golden checksum failed to reproduce across
+sandbox hosts in rounds 4→5 and 5→6 while every integer-path pin held.
+Measured on the sf0.01 planted corpus: 69/1438 docs had at least one
+accumulator bit whose sign flipped under float summation reorder
+(min |acc| ~ 1e-17, i.e. exact cancellation); the integer sum has no
+such freedom (ties acc == 0 are deterministically bit=0).
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+from collections import Counter
+from operator import itemgetter
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# fixed-point grid for log1p weights: 2^-20 quantization (~1e-6
+# relative) is far below any meaningful feature-weight difference and
+# kills cross-libm ULP drift; products stay well inside int64
+# (w <= log1p(1e5)*2^20 ~ 1.2e7, 1e6 features -> |acc| <= ~1.2e13).
+_W_SCALE = 1 << 20
+
+_WTAB = np.zeros(1, dtype=np.int64)  # _WTAB[c] = weight of count c
+
+
+def _weight_int(count: int) -> int:
+    """round(log1p(count) * 2^20) — the single weight definition both
+    the python oracle and the vectorized path share."""
+    return int(round(math.log1p(count) * _W_SCALE))
+
+
+def _weight_table(max_count: int) -> np.ndarray:
+    global _WTAB
+    if _WTAB.shape[0] <= max_count:
+        _WTAB = np.fromiter(
+            (_weight_int(c) for c in range(max_count + 1)), np.int64, max_count + 1
+        )
+    return _WTAB
 
 
 def _token_hash(token: str) -> int:
@@ -36,7 +74,8 @@ def _token_hash(token: str) -> int:
 
 
 def py_simhash(text: str, ngram: int = 2) -> int:
-    """Pure-Python SimHash oracle (signed int64) for tests."""
+    """Pure-Python SimHash oracle (signed int64) for tests — exact
+    integer accumulation, same fixed-point weights as the UDF."""
     tokens = text.split()
     feats: dict[str, int] = {}
     for i, t in enumerate(tokens):
@@ -46,11 +85,12 @@ def py_simhash(text: str, ngram: int = 2) -> int:
             feats[bg] = feats.get(bg, 0) + 1
     if not feats:
         return 0
-    acc = np.zeros(64, dtype=np.float64)
-    for tok, w in feats.items():
+    acc = [0] * 64
+    for tok, c in feats.items():
         h = _token_hash(tok)
-        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8), bitorder="little")
-        acc += (2 * bits.astype(np.float64) - 1) * np.log1p(w)
+        w = _weight_int(c)
+        for j in range(64):
+            acc[j] += w if (h >> j) & 1 else -w
     sim = 0
     for j in range(64):
         if acc[j] > 0:
@@ -58,51 +98,87 @@ def py_simhash(text: str, ngram: int = 2) -> int:
     return np.int64(np.uint64(sim)).item()
 
 
+def _np_simhash_batch(hs: np.ndarray, ws: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """numpy fallback for the native kernel: exact int64 accumulation
+    (identical results — integer sums are order-independent)."""
+    n = offs.shape[0] - 1
+    out = np.zeros(n, dtype=np.int64)
+    for d in range(n):
+        lo, hi = offs[d], offs[d + 1]
+        if lo == hi:
+            continue
+        h = hs[lo:hi]
+        w = ws[lo:hi]
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        # acc = sum w*(2b-1) = 2*(w@b) - sum(w), exact in int64
+        acc = 2 * (w @ bits.astype(np.int64)) - w.sum()
+        sim = np.packbits(acc > 0, bitorder="little").view(np.uint64)[0]
+        out[d] = np.int64(sim)
+    return out
+
+
 def make_simhash_udf(ngram: int = 2):
     """pandas UDF: normalized text -> 64-bit SimHash as LongType.
 
-    Vectorization strategy: build a per-batch vocab of feature hashes
-    once (dict lookups amortize across the batch), then per document a
-    single (n_feats, 64) unpackbits matrix x weight vector product.
+    Vectorization strategy: per doc, C-speed ``Counter`` feature
+    counting (unigrams + bigram tuples) and C-speed ``itemgetter``
+    vocab lookups build concatenated (hash, weight) feature rows for
+    the whole batch; one native (or numpy) kernel call does the exact
+    integer bit accumulation for every doc at once. The per-batch
+    vocab amortizes blake2b over web text's high token reuse.
     """
 
     @F.pandas_udf(T.LongType())
     def simhash_sig(texts: pd.Series) -> pd.Series:
-        vocab: dict[str, np.uint64] = {}
+        from epstein_pipeline_spark.functions import _native
 
-        def feat_hashes(feats: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
-            hs = np.empty(len(feats), dtype=np.uint64)
-            ws = np.empty(len(feats), dtype=np.float64)
-            for idx, (tok, w) in enumerate(feats.items()):
-                h = vocab.get(tok)
-                if h is None:
-                    h = np.uint64(_token_hash(tok))
-                    vocab[tok] = h
-                hs[idx] = h
-                ws[idx] = w
+        vocab: dict = {}
+
+        def feat_rows(feats: Counter, is_bigram: bool) -> tuple[np.ndarray, np.ndarray]:
+            nf = len(feats)
+            keys = list(feats.keys())
+            miss = set(keys).difference(vocab)
+            if miss:
+                for tok in miss:
+                    s = tok[0] + " " + tok[1] if is_bigram else tok
+                    vocab[tok] = _token_hash(s)
+            if nf == 1:
+                hvals = (vocab[keys[0]],)
+            else:
+                hvals = itemgetter(*keys)(vocab)
+            hs = np.array(hvals, dtype=np.uint64)
+            counts = np.fromiter(feats.values(), np.int64, nf)
+            ws = _weight_table(int(counts.max()))[counts]
             return hs, ws
 
-        out = np.zeros(len(texts), dtype=np.int64)
+        hs_parts: list[np.ndarray] = []
+        ws_parts: list[np.ndarray] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
         for row, t in enumerate(texts):
             if not t:
                 continue
             tokens = t.split()
-            feats: dict[str, int] = {}
-            for i, tok in enumerate(tokens):
-                feats[tok] = feats.get(tok, 0) + 1
-                if ngram >= 2 and i + 1 < len(tokens):
-                    bg = tok + " " + tokens[i + 1]
-                    feats[bg] = feats.get(bg, 0) + 1
-            if not feats:
+            if not tokens:
                 continue
-            hs, ws = feat_hashes(feats)
-            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            acc = np.log1p(ws) @ (2.0 * bits - 1.0)
-            sim = np.uint64(0)
-            one = np.uint64(1)
-            for j in np.nonzero(acc > 0)[0]:
-                sim |= one << np.uint64(j)
-            out[row] = np.int64(sim)
+            uni = Counter(tokens)
+            hs, ws = feat_rows(uni, False)
+            hs_parts.append(hs)
+            ws_parts.append(ws)
+            n_f = hs.shape[0]
+            if ngram >= 2 and len(tokens) > 1:
+                bi = Counter(zip(tokens, tokens[1:]))
+                hs2, ws2 = feat_rows(bi, True)
+                hs_parts.append(hs2)
+                ws_parts.append(ws2)
+                n_f += hs2.shape[0]
+            lens[row] = n_f
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        hs_all = np.concatenate(hs_parts) if hs_parts else np.empty(0, np.uint64)
+        ws_all = np.concatenate(ws_parts) if ws_parts else np.empty(0, np.int64)
+        out = _native.simhash_batch(hs_all, ws_all, offs)
+        if out is None:
+            out = _np_simhash_batch(hs_all, ws_all, offs)
         return pd.Series(out)
 
     return simhash_sig

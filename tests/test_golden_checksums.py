@@ -30,17 +30,18 @@ SF = "/root/testdata/sf0.01"
 
 GOLDEN = {
     "minhash_dedup_planted": "51b72dd8f6d8b786698c62ea5c2677f3b720f3b4847daa07da864d7c9f64e7c5",
-    # simhash re-pinned 2026-08-17: the original pin failed to
-    # reproduce under ANY configuration after the driver regenerated
-    # /root/testdata (the corpus itself proved byte-identical: raw
-    # text == normalized text for every doc, and the three
-    # normalized-text/embedding pins held). The value below was
-    # verified deterministic across 3 fresh processes x cores {4,8}
-    # x shuffle partitions {8,16,32} and under reversed/md5-shuffled
-    # input orders; py_simhash twin-parity tests pin the signature
-    # math independently. Most plausible cause: the pinning sitting
-    # imported a stale module copy.
-    "simhash_dedup_planted": "4dd06f6813e24faada69ea543db9645d6e37b3ae42caa65515c42577a58f231f",
+    # simhash re-pinned 2026-08-22 (round 6) with the ROOT CAUSE of
+    # the r4->r5->r6 pin failures finally proven and fixed: the old
+    # float accumulator (log1p weights, BLAS dgemv) produced
+    # EXACTLY-ZERO bit sums on the planted corpus (69/1438 docs had a
+    # bit whose sign flipped under float summation reorder,
+    # min |acc| ~ 1e-17), so the signature depended on which dgemv
+    # kernel the host CPU selected — stable within a sandbox host,
+    # different across rounds. functions/simhash.py now accumulates
+    # exact fixed-point int64 weights (order-independent by
+    # construction); this pin is a pure function of the corpus bytes
+    # on any host.
+    "simhash_dedup_planted": "17a473c913ee070d8c7d85034e879f08342766e2c201cb436e2dcb39fbab0503",
     "dedup_clusters_planted": "56351b1432ffa5ad5caae715a65e149acc2f9d34b27524da5136efdf5e6bcd2f",
     "rhp_cosine_pairs": "76f930c26d7e07113a1ab5e8d49d15d6cd5050a9fe0d71a9274815698505666f",
 }
