@@ -281,11 +281,19 @@ def q_word_jaccard_pairs(spark, sf):
     that survives."""
     d = _docs(spark, sf).select(
         "doc_id", "source", F.array_distinct(F.split(_norm("text"), " ")).alias("toks")
-    )
-    a, b = d.alias("a"), d.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double") / F.size(
-        F.array_union(F.col("a.toks"), F.col("b.toks"))
-    )
+    ).withColumn("n", F.size("toks"))
+    # the documents table is one input split at bench scale and the
+    # self-join broadcasts b, so without an explicit probe-side
+    # repartition the whole |block|^2 pair expansion runs in ONE task
+    a = d.repartition(spark.sparkContext.defaultParallelism * 2).alias("a")
+    b = d.alias("b")
+    # toks are distinct, so |union| = n1 + n2 - |intersect| exactly —
+    # identical integers (and therefore identical rounded doubles) to
+    # size(array_union(..)), without building the union hash set for
+    # every one of the |block|^2 pairs (array_intersect is the single
+    # per-pair set operation left)
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
     return (
         a.join(b, "source")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -353,11 +361,20 @@ def q_word_jaccard_prefix_pairs(spark, sf):
         )
         .distinct()
     )
-    ta = d.select(F.col("doc_id").alias("doc_id1"), F.col("toks").alias("toks1"))
-    tb = d.select(F.col("doc_id").alias("doc_id2"), F.col("toks").alias("toks2"))
-    jac = F.size(F.array_intersect("toks1", "toks2")).cast("double") / F.size(
-        F.array_union("toks1", "toks2")
+    ta = d.select(
+        F.col("doc_id").alias("doc_id1"),
+        F.col("toks").alias("toks1"),
+        F.size("toks").alias("n1"),
     )
+    tb = d.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("toks").alias("toks2"),
+        F.size("toks").alias("n2"),
+    )
+    # |union| = n1 + n2 - |intersect| on distinct arrays (same trick
+    # as the direct twin above — identical integers, identical output)
+    inter = F.size(F.array_intersect("toks1", "toks2"))
+    jac = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
     return (
         cand.join(ta, "doc_id1")
         .join(tb, "doc_id2")

@@ -25,12 +25,28 @@ def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_hash", content_hash_expr(text_col))
 
 
-def exact_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+def exact_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    hash_col: str | None = None,
+) -> DataFrame:
     """(url1, url2, score=1.0, method='exact') star-pairs per hash group.
 
     url1 < url2 canonical ordering (reference dedup.py:146,262).
+
+    ``hash_col`` names an ALREADY-COMPUTED content-hash column (the
+    pipeline's extract stage commits one): recomputing it here was a
+    redundant normalize-regex + sha256 pass over the whole corpus —
+    the definition is identical (content_hash_expr), so the output is
+    too.
     """
-    hashed = df.select(F.col(id_col).alias("_id"), content_hash_expr(text_col).alias("content_hash"))
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(hash_col) if hash_col else content_hash_expr(text_col)).alias(
+            "content_hash"
+        ),
+    )
     w = Window.partitionBy("content_hash")
     anchored = hashed.withColumn("_anchor", F.min("_id").over(w))
     return (

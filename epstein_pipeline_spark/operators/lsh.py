@@ -36,9 +36,15 @@ def minhash_signatures(
     """(url, sig: array<long>) for docs passing the length gate
     (reference dedup.py:346-350: len(text) > 100)."""
     udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+    # even round-robin repartition before the signature UDF: small
+    # corpora scan as 1-3 input splits, which would serialize the
+    # UDF on as many tasks (the pipeline's signatures_stage does the
+    # same for the same reason)
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
     return (
         df.filter(F.length(text_col) > cfg.minhash_min_len)
         .select(F.col(id_col).alias("url"), normalize_text_expr(text_col).alias("_norm"))
+        .repartition(nparts)
         .withColumn("sig", udf("_norm"))
         .drop("_norm")
     )

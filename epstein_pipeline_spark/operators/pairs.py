@@ -134,12 +134,25 @@ def salted_block_join(
     # join FLAT columns — struct payloads riding through the shuffle
     # cost ~25% extra on a dense join; the a/b structs are built only
     # in the final projection, where Catalyst collapses
-    # CreateNamedStruct + GetStructField back to the flat columns
+    # CreateNamedStruct + GetStructField back to the flat columns.
+    #
+    # The probe side is explicitly round-robin repartitioned: block
+    # tables small enough to broadcast are typically ALSO one input
+    # split (a sub-maxPartitionBytes parquet file), and a broadcast
+    # hash join inherits the probe side's partitioning — without the
+    # repartition the entire O(sum block^2) pair expansion + distance
+    # kernel runs in a single task (measured: the whole
+    # customer_fuzzy_pairs bench query serialized on one core, 8.6 s
+    # at 32 available). One extra exchange of input ROWS (not pairs)
+    # is noise next to the dense-join compute this operator exists
+    # for; when the planner picks a shuffled join instead, the rows
+    # were going to be exchanged anyway.
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
     a = t.select(
         F.col(block_col).alias("_blk"),
         "_sub",
         *[F.col(c).alias(f"_a_{c}") for c in payload_cols],
-    )
+    ).repartition(nparts)
     b = t.select(
         F.col(block_col).alias("_blk"),
         "_sub",

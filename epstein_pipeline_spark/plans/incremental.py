@@ -345,7 +345,7 @@ def _run_incremental_impl(
     def build_exact() -> DataFrame:
         from epstein_pipeline_spark.operators.exact import exact_pairs
 
-        internal = exact_pairs(docs_delta)
+        internal = exact_pairs(docs_delta, hash_col="content_hash")
         # restrict BEFORE grouping: a broadcast semi-join on the
         # delta's (small) hash set keeps the anchor groupBy O(delta)
         # instead of shuffling the whole committed corpus by

@@ -55,22 +55,68 @@ class PipelineResult:
     docs_in: int = 0
 
 
+_EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "extracted_text string, text string, content_hash string"
+)
+
+
+def _extract_batches(batches):
+    """Arrow-batch worker for ``extract_stage``: the ``py_*`` twins of
+    the JVM extract/clean/normalize expressions (byte-identical —
+    the per-url invariant test pins expr == twin on whole corpora)
+    plus hashlib sha256. Python's ``re`` engine runs this chain ~2x
+    faster than the JVM ``regexp_replace`` cascade (measured 0.33 vs
+    0.71 ms/doc on the bench corpus), and compiled patterns are
+    module-level so a reused worker pays compilation once."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from epstein_pipeline_spark.functions.text import (
+        py_clean_ocr_noise,
+        py_extract_text,
+        py_normalize_text,
+    )
+
+    for batch in batches:
+        ext: list[str | None] = []
+        norm: list[str | None] = []
+        hsh: list[str | None] = []
+        for h in batch.column("html").to_pylist():
+            if h is None:
+                ext.append(None)
+                norm.append(None)
+                hsh.append(None)
+                continue
+            e = py_extract_text(h)
+            t = py_normalize_text(py_clean_ocr_noise(e))
+            ext.append(e)
+            norm.append(t)
+            hsh.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+        yield pa.record_batch(
+            [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                batch.column("lang"),
+                pa.array(ext, pa.string()),
+                pa.array(norm, pa.string()),
+                pa.array(hsh, pa.string()),
+            ],
+            names=["url", "warc_ts", "lang", "extracted_text", "text", "content_hash"],
+        )
+
+
 def extract_stage(pages: DataFrame) -> DataFrame:
-    """html binary -> extracted_text (pure JVM), plus normalized text
-    and content hash. The extracted text is the byte-identical-per-url
-    invariant checked against ``py_extract_text`` in tests."""
-    return pages.select(
-        "url",
-        "warc_ts",
-        "lang",
-        extract_text_expr("html").alias("extracted_text"),
-    ).select(
-        "url",
-        "warc_ts",
-        "lang",
-        "extracted_text",
-        normalize_text_expr(clean_ocr_noise_expr("extracted_text")).alias("text"),
-    ).withColumn("content_hash", content_hash_expr("text"))
+    """html binary -> extracted_text, normalized text, content hash —
+    one Arrow pass over (url, warc_ts, lang, html) only (explicit
+    projection: an opaque map defeats column pruning otherwise). The
+    extracted text is the byte-identical-per-url invariant checked
+    against the JVM ``extract_text_expr`` twin in tests; either path
+    is the spec, this one is the measured-faster implementation."""
+    return pages.select("url", "warc_ts", "lang", "html").mapInArrow(
+        _extract_batches, schema=_EXTRACT_SCHEMA
+    )
 
 
 def signatures_stage(spark: SparkSession, docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -152,7 +198,11 @@ def run_dedup(
         stamp["for_extract_snapshot"] = m["snapshot"]
 
     # 2. exact pass (hash-group star pairs)
-    p_exact = staged("pairs_exact", lambda: exact_pairs(docs), {"docs_in": n_docs})
+    p_exact = staged(
+        "pairs_exact",
+        lambda: exact_pairs(docs, hash_col="content_hash"),
+        {"docs_in": n_docs},
+    )
 
     # 3a. signatures — one committed table (url, sig, simhash): both
     # signature UDFs run in a single pass over the corpus (normalize

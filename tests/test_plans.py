@@ -65,11 +65,40 @@ def test_exact_path_is_jvm_only(spark, pages):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
-def test_extract_stage_is_jvm_only(spark, pages):
+def test_extract_stage_arrow_pass_and_parity(spark, pages):
+    """Round-6 change: extract runs as ONE MapInArrow pass over an
+    explicit (url, warc_ts, lang, html) projection — Python's regex
+    engine measures ~2x the JVM regexp_replace cascade on this chain,
+    and the twins are byte-identical (pinned here against the JVM
+    exprs on the whole fixture corpus, and independently by
+    test_text.test_extraction_byte_identical)."""
+    from epstein_pipeline_spark.functions.text import (
+        clean_ocr_noise_expr,
+        content_hash_expr,
+        extract_text_expr,
+        normalize_text_expr,
+    )
     from epstein_pipeline_spark.plans.pipeline import extract_stage
 
-    p = plan(extract_stage(pages))
-    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    out = extract_stage(pages)
+    p = plan(out)
+    # exactly one Python crossing (the node renders once in the tree
+    # and once in the details section of a formatted plan)
+    assert p.count("MapInArrow") <= 2 and "MapInArrow" in p
+    jvm = pages.select(
+        "url",
+        extract_text_expr("html").alias("extracted_text"),
+    ).select(
+        "url",
+        "extracted_text",
+        normalize_text_expr(clean_ocr_noise_expr("extracted_text")).alias("text"),
+    ).withColumn("content_hash", content_hash_expr("text"))
+    got = {r["url"]: r for r in out.collect()}
+    for r in jvm.collect():
+        g = got[r["url"]]
+        assert g["extracted_text"] == r["extracted_text"]
+        assert g["text"] == r["text"]
+        assert g["content_hash"] == r["content_hash"]
 
 
 def test_band_candidates_single_shuffle(spark, pages):
