@@ -93,6 +93,228 @@ void minhash_batch(const uint8_t* data, const int64_t* offs, int64_t n_docs,
     }
 }
 
+/* ---- BLAKE2b (RFC 7693), digest_size = 8, keyless ----------------
+   Must equal hashlib.blake2b(data, digest_size=8).digest() read as a
+   little-endian u64 — which is exactly h[0] after finalization. */
+#include <string.h>
+#include <stdlib.h>
+
+static const uint64_t B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL,
+    0x3c6ef372fe94f82bULL, 0xa54ff53a5f1d36f1ULL,
+    0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL,
+};
+
+static const uint8_t B2B_SIGMA[12][16] = {
+    {0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15},
+    {14,10,4,8,9,15,13,6,1,12,0,2,11,7,5,3},
+    {11,8,12,0,5,2,15,13,10,14,3,6,7,1,9,4},
+    {7,9,3,1,13,12,11,14,2,6,5,10,4,0,15,8},
+    {9,0,5,7,2,4,10,15,14,1,11,12,6,8,3,13},
+    {2,12,6,10,0,11,8,3,4,13,7,5,15,14,1,9},
+    {12,5,1,15,14,13,4,10,0,7,6,3,9,2,8,11},
+    {13,11,7,14,12,1,3,9,5,0,15,4,8,6,2,10},
+    {6,15,14,9,11,3,0,8,12,2,13,7,1,4,10,5},
+    {10,2,8,4,7,6,1,5,15,11,9,14,3,12,13,0},
+    {0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15},
+    {14,10,4,8,9,15,13,6,1,12,0,2,11,7,5,3},
+};
+
+#define ROTR64(x, n) (((x) >> (n)) | ((x) << (64 - (n))))
+#define B2B_G(a, b, c, d, x, y)                                   \
+    do {                                                          \
+        a = a + b + (x); d = ROTR64(d ^ a, 32); c = c + d;        \
+        b = ROTR64(b ^ c, 24); a = a + b + (y);                   \
+        d = ROTR64(d ^ a, 16); c = c + d; b = ROTR64(b ^ c, 63);  \
+    } while (0)
+
+static void b2b_compress(uint64_t h[8], const uint8_t block[128],
+                         uint64_t t, int last)
+{
+    uint64_t v[16], m[16];
+    memcpy(m, block, 128);  /* little-endian host */
+    for (int i = 0; i < 8; i++) { v[i] = h[i]; v[i + 8] = B2B_IV[i]; }
+    v[12] ^= t;  /* t_hi = 0: inputs here are far below 2^64 bytes */
+    if (last) v[14] = ~v[14];
+    for (int r = 0; r < 12; r++) {
+        const uint8_t* s = B2B_SIGMA[r];
+        B2B_G(v[0], v[4], v[8],  v[12], m[s[0]],  m[s[1]]);
+        B2B_G(v[1], v[5], v[9],  v[13], m[s[2]],  m[s[3]]);
+        B2B_G(v[2], v[6], v[10], v[14], m[s[4]],  m[s[5]]);
+        B2B_G(v[3], v[7], v[11], v[15], m[s[6]],  m[s[7]]);
+        B2B_G(v[0], v[5], v[10], v[15], m[s[8]],  m[s[9]]);
+        B2B_G(v[1], v[6], v[11], v[12], m[s[10]], m[s[11]]);
+        B2B_G(v[2], v[7], v[8],  v[13], m[s[12]], m[s[13]]);
+        B2B_G(v[3], v[4], v[9],  v[14], m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[i + 8];
+}
+
+/* first 8 bytes of BLAKE2b(data, digest_size=8), as LE u64 == h[0] */
+uint64_t blake2b8(const uint8_t* data, int64_t len)
+{
+    uint64_t h[8];
+    memcpy(h, B2B_IV, sizeof h);
+    h[0] ^= 0x01010008ULL;  /* digest_length=8, fanout=1, depth=1 */
+    int64_t off = 0;
+    while (len - off > 128) {
+        b2b_compress(h, data + off, (uint64_t)(off + 128), 0);
+        off += 128;
+    }
+    uint8_t block[128];
+    memset(block, 0, sizeof block);
+    memcpy(block, data + off, (size_t)(len - off));
+    b2b_compress(h, block, (uint64_t)len, 1);
+    return h[0];
+}
+
+/* ---- SimHash feature extraction ----------------------------------
+   Input docs are SINGLE-SPACE separated utf-8 with no leading/
+   trailing spaces (the Python caller joins str.split() output), so
+   tokenizing on the 0x20 byte reproduces Python token boundaries
+   exactly (0x20 cannot occur inside a multi-byte utf-8 sequence).
+
+   Per doc: count unigram token spans and bigram spans (token i
+   through token i+1 — contiguous, single space included, which IS
+   the "t1 t2" feature string) in an open-addressing span map, then
+   emit (blake2b8(span), count) per unique feature. A batch-level
+   memo keyed by the span bytes amortizes blake2b over web text's
+   cross-document token reuse; when it fills past 3/4 it degrades to
+   direct hashing (correctness unaffected).
+
+   out_hash/out_count capacity must be >= total bytes + n_docs
+   (features per doc = 2*n_tokens-1 <= doc length). Returns 0, or -1
+   on allocation failure / capacity overflow (caller falls back). */
+
+typedef struct { int64_t off; int64_t len; uint64_t b2b; } memo_ent;
+
+static inline uint64_t span_fnv(const uint8_t* p, int64_t n)
+{
+    uint64_t h = 0xcbf29ce484222325ULL;
+    for (int64_t i = 0; i < n; i++) { h ^= p[i]; h *= 0x100000001b3ULL; }
+    return h;
+}
+
+int simhash_features(const uint8_t* data, const int64_t* offs, int64_t n_docs,
+                     uint64_t* out_hash, int64_t* out_count,
+                     int64_t* out_nfeat, int64_t cap_feats)
+{
+    /* batch memo sized to total bytes / 8 (≈ token count), power of 2 */
+    int64_t total = offs[n_docs] - offs[0];
+    uint64_t mcap = 1024;
+    while ((int64_t)mcap < total / 4 && mcap < (1ULL << 23)) mcap <<= 1;
+    memo_ent* memo = (memo_ent*)calloc(mcap, sizeof(memo_ent));
+    uint64_t mmask = mcap - 1, mused = 0, mlimit = mcap - mcap / 4;
+
+    /* per-doc scratch, grown as needed */
+    int64_t tok_cap = 4096;
+    int64_t* tok_s = (int64_t*)malloc(tok_cap * sizeof(int64_t));
+    int64_t* tok_e = (int64_t*)malloc(tok_cap * sizeof(int64_t));
+    int64_t map_cap = 8192;  /* power of two */
+    int64_t* m_first = (int64_t*)malloc(map_cap * sizeof(int64_t));
+    /* parallel arrays indexed by insertion order */
+    int64_t* f_off = (int64_t*)malloc(cap_feats > 0 ? cap_feats * sizeof(int64_t) : 8);
+    int64_t* f_len = (int64_t*)malloc(cap_feats > 0 ? cap_feats * sizeof(int64_t) : 8);
+    if (!memo || !tok_s || !tok_e || !m_first || !f_off || !f_len) {
+        free(memo); free(tok_s); free(tok_e); free(m_first); free(f_off); free(f_len);
+        return -1;
+    }
+
+    int64_t out_pos = 0;
+    int rc = 0;
+    for (int64_t d = 0; d < n_docs && rc == 0; d++) {
+        const int64_t base = offs[d];
+        const int64_t n = offs[d + 1] - base;
+        if (n == 0) { out_nfeat[d] = 0; continue; }
+        /* tokenize on single spaces */
+        int64_t ntok = 0;
+        int64_t s = 0;
+        for (int64_t i = 0; i <= n; i++) {
+            if (i == n || data[base + i] == 0x20) {
+                if (ntok == tok_cap) {
+                    tok_cap *= 2;
+                    tok_s = (int64_t*)realloc(tok_s, tok_cap * sizeof(int64_t));
+                    tok_e = (int64_t*)realloc(tok_e, tok_cap * sizeof(int64_t));
+                    if (!tok_s || !tok_e) { rc = -1; break; }
+                }
+                tok_s[ntok] = s; tok_e[ntok] = i; ntok++;
+                s = i + 1;
+            }
+        }
+        if (rc) break;
+        int64_t max_feats = 2 * ntok;  /* unigrams + bigrams (+1 slack) */
+        while (map_cap < 2 * max_feats) {
+            map_cap *= 2;
+            m_first = (int64_t*)realloc(m_first, map_cap * sizeof(int64_t));
+            if (!m_first) { rc = -1; break; }
+        }
+        if (rc) break;
+        if (out_pos + max_feats > cap_feats) { rc = -1; break; }
+        memset(m_first, 0xff, map_cap * sizeof(int64_t));  /* -1 = empty */
+        const int64_t mask = map_cap - 1;
+        int64_t nuniq = 0;
+        uint64_t* doc_hash = out_hash + out_pos;
+        int64_t* doc_count = out_count + out_pos;
+        for (int64_t i = 0; i < 2 * ntok - 1; i++) {
+            /* even i: unigram i/2; odd i: bigram (i/2, i/2+1) */
+            int64_t fo, fl;
+            if ((i & 1) == 0) { fo = tok_s[i >> 1]; fl = tok_e[i >> 1] - fo; }
+            else { fo = tok_s[i >> 1]; fl = tok_e[(i >> 1) + 1] - fo; }
+            const uint8_t* fp = data + base + fo;
+            uint64_t hv = span_fnv(fp, fl);
+            uint64_t slot = hv & (uint64_t)mask;
+            for (;;) {
+                int64_t idx = m_first[slot];
+                if (idx < 0) {
+                    m_first[slot] = nuniq;
+                    f_off[nuniq] = base + fo; f_len[nuniq] = fl;
+                    doc_count[nuniq] = 1;
+                    nuniq++;
+                    break;
+                }
+                if (f_len[idx] == fl &&
+                    memcmp(data + f_off[idx], fp, (size_t)fl) == 0) {
+                    doc_count[idx]++;
+                    break;
+                }
+                slot = (slot + 1) & (uint64_t)mask;
+            }
+        }
+        /* blake2b per unique feature, via the batch memo */
+        for (int64_t u = 0; u < nuniq; u++) {
+            const uint8_t* fp = data + f_off[u];
+            const int64_t fl = f_len[u];
+            uint64_t hv = span_fnv(fp, fl);
+            uint64_t slot = hv & mmask;
+            uint64_t b2 = 0; int found = 0;
+            if (mused < mlimit) {
+                for (;;) {
+                    memo_ent* e = &memo[slot];
+                    if (e->len == 0) {
+                        b2 = blake2b8(fp, fl);
+                        e->off = f_off[u]; e->len = fl; e->b2b = b2;
+                        mused++;
+                        found = 1;
+                        break;
+                    }
+                    if (e->len == fl &&
+                        memcmp(data + e->off, fp, (size_t)fl) == 0) {
+                        b2 = e->b2b; found = 1; break;
+                    }
+                    slot = (slot + 1) & mmask;
+                }
+            }
+            if (!found) b2 = blake2b8(fp, fl);
+            doc_hash[u] = b2;
+        }
+        out_nfeat[d] = nuniq;
+        out_pos += nuniq;
+    }
+    free(memo); free(tok_s); free(tok_e); free(m_first); free(f_off); free(f_len);
+    return rc;
+}
+
 /* SimHash bit accumulation over (feature-hash, integer-weight) rows.
 
    hs/ws: concatenated per-doc feature hashes and fixed-point weights
@@ -168,6 +390,12 @@ def get_lib():
         lib.minhash_batch.restype = None
         lib.simhash_batch.argtypes = [u64p, i64p, i64p, ctypes.c_int64, i64p]
         lib.simhash_batch.restype = None
+        lib.blake2b8.argtypes = [u8p, ctypes.c_int64]
+        lib.blake2b8.restype = ctypes.c_uint64
+        lib.simhash_features.argtypes = [
+            u8p, i64p, ctypes.c_int64, u64p, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.simhash_features.restype = ctypes.c_int
         _LIB = lib
     except Exception:
         _LIB = None
@@ -198,6 +426,44 @@ def minhash_batch(enc: list[bytes], k: int, a: np.ndarray, b: np.ndarray,
         num_perm, ctypes.c_uint64(empty_slot), _as_ptr(out, ctypes.c_int64),
     )
     return out
+
+
+def blake2b8(data: bytes) -> int | None:
+    """Test hook: C blake2b8 of raw bytes (None without the library)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(1, np.uint8)
+    return int(lib.blake2b8(_as_ptr(buf, ctypes.c_uint8), len(data)))
+
+
+def simhash_features(enc: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Per-doc unique (feature-hash, count) rows for single-space
+    separated utf-8 docs. Returns (hashes, counts, offsets) with
+    offsets of length n_docs+1, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(enc)
+    data = b"".join(enc)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(e) for e in enc), np.int64, n), out=offs[1:])
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(1, np.uint8)
+    cap = len(data) + n + 1
+    out_hash = np.empty(cap, dtype=np.uint64)
+    out_count = np.empty(cap, dtype=np.int64)
+    nfeat = np.zeros(n, dtype=np.int64)
+    rc = lib.simhash_features(
+        _as_ptr(buf, ctypes.c_uint8), _as_ptr(offs, ctypes.c_int64), n,
+        _as_ptr(out_hash, ctypes.c_uint64), _as_ptr(out_count, ctypes.c_int64),
+        _as_ptr(nfeat, ctypes.c_int64), cap,
+    )
+    if rc != 0:
+        return None
+    fo = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nfeat, out=fo[1:])
+    tot = int(fo[-1])
+    return out_hash[:tot], out_count[:tot], fo
 
 
 def simhash_batch(hs: np.ndarray, ws: np.ndarray, offs: np.ndarray) -> np.ndarray | None:

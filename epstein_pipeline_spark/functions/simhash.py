@@ -132,6 +132,27 @@ def make_simhash_udf(ngram: int = 2):
     def simhash_sig(texts: pd.Series) -> pd.Series:
         from epstein_pipeline_spark.functions import _native
 
+        # full native path (ngram=2 only — the production config):
+        # re-join the split tokens so the C tokenizer's single-space
+        # contract holds for ANY input (normalized text is already in
+        # that form; the join is a no-op copy then), extract unique
+        # (blake2b, count) features in C, weight via the shared
+        # fixed-point table, accumulate in C. Bit-identical to the
+        # python path below (property-tested).
+        if ngram == 2 and _native.get_lib() is not None:
+            enc = [
+                " ".join(t.split()).encode("utf-8") if t else b"" for t in texts
+            ]
+            feats = _native.simhash_features(enc)
+            if feats is not None:
+                hs_all, counts, fo = feats
+                maxc = int(counts.max()) if counts.shape[0] else 1
+                ws_all = _weight_table(maxc)[counts]
+                out = _native.simhash_batch(hs_all, ws_all, fo)
+                if out is None:
+                    out = _np_simhash_batch(hs_all, ws_all, fo)
+                return pd.Series(out)
+
         vocab: dict = {}
 
         def feat_rows(feats: Counter, is_bigram: bool) -> tuple[np.ndarray, np.ndarray]:

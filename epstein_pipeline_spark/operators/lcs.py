@@ -139,6 +139,17 @@ def lcs_verify(
     t = docs.select(
         F.col(id_col).alias("url"), F.substring(F.col(text_col), 1, cfg.lcs_max_chars).alias("_t")
     )
+    # semi-join the text table down to urls in the gray-zone pair set
+    # before the attach joins (same shape as exact_jaccard_pairs: the
+    # pair set is a sliver of the corpus; without the prefilter both
+    # joins shuffle the full truncated-text table). AQE broadcasts
+    # the tiny distinct-url aggregate when it fits.
+    urls = (
+        pairs.select(F.col("url1").alias("url"))
+        .unionByName(pairs.select(F.col("url2").alias("url")))
+        .distinct()
+    )
+    t = t.join(urls, "url", "left_semi")
     # explicit round-robin repartition before the compute-bound UDF:
     # the joined pair set is small in BYTES, so AQE's coalescing packs
     # it into one or two partitions and the per-pair LCS work — the

@@ -251,9 +251,21 @@ def dedup_lines_incremental(
         if n_lhs <= broadcast_max:
             delta_lhs = F.broadcast(delta_lhs)
     seen_touched = seen.join(delta_lhs, "lh", "left_semi")
+    if not rerun:
+        # the state-append action AND the caller's cleaning action both
+        # consume seen_touched and occ_new; lazy local checkpoints make
+        # whichever action runs first materialize the seen-state scan +
+        # the semi/anti joins ONCE instead of once per action — this
+        # duplicated state-side work was the bulk of the fold's fixed
+        # per-commit cost (round-5 lo/hi pair eff 0.46-0.55). Blocks
+        # are small: touched lines are bounded by the delta's own line
+        # set, never the state's size.
+        seen_touched = seen_touched.localCheckpoint(eager=False)
 
     occ_seen = occ.join(seen_touched, "lh", "left_semi")
     occ_new = occ.join(seen_touched, "lh", "left_anti")
+    if not rerun:
+        occ_new = occ_new.localCheckpoint(eager=False)
     winners_new = (
         occ_new.groupBy("lh")
         .agg(

@@ -37,10 +37,13 @@ def minhash_signatures(
     (reference dedup.py:346-350: len(text) > 100)."""
     udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
     # even round-robin repartition before the signature UDF: small
-    # corpora scan as 1-3 input splits, which would serialize the
-    # UDF on as many tasks (the pipeline's signatures_stage does the
-    # same for the same reason)
-    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # corpora scan as 1-3 input splits, which would serialize the UDF
+    # on as many tasks. Exactly defaultParallelism partitions: task
+    # results are handled driver-serially (~40 ms each with a Python
+    # stage in the loop), so 2x-overpartitioning a small corpus COSTS
+    # more than its balance buys (measured 3.3 s @64 parts vs 1.9 s
+    # @32 parts for the planted pass at 32 cores)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.filter(F.length(text_col) > cfg.minhash_min_len)
         .select(F.col(id_col).alias("url"), normalize_text_expr(text_col).alias("_norm"))
@@ -104,8 +107,16 @@ def bucket_pairs_expr(members: Column, cap: int) -> Column:
 
 def candidate_pairs_from_bands(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (url1 < url2) candidate pairs from band buckets, with
-    the oversized-bucket chain+star guard. One shuffle: groupBy band
-    key -> sorted member array -> JVM pair expansion -> explode."""
+    the oversized-bucket chain+star guard.
+
+    One shuffle: groupBy band key -> sorted member array -> JVM pair
+    expansion -> explode. (A two-pass hot-bucket precount — aggregate
+    counts first, semi-join members back — was tried in round 6 and
+    REJECTED by measurement: band keys are ~95% unique, so the count
+    aggregate shuffles and hash-aggregates the same 2M rows the
+    collect_list would, and the total went 4.7 s -> 10.3 s at 4
+    cores/128k. The exchange of (band, url) rows is the irreducible
+    cost of banding; see OPTIMIZATION_r06.md.)"""
     buckets = (
         bands.groupBy("band_i", "band_hash")
         .agg(F.array_sort(F.collect_list(F.struct("url"))).alias("_ms"))
@@ -122,7 +133,14 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
 def score_candidates(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Join signatures back and score every candidate with estimated
     Jaccard (reference mh1.jaccard, dedup.py:386). No threshold —
-    callers split accepted vs gray-zone."""
+    callers split accepted vs gray-zone.
+
+    (A semi-join prefilter of the signature table on candidate urls —
+    the shape that pays off for the TEXT attach joins in
+    exact_jaccard_pairs / lcs_verify — was tried here in round 6 and
+    REJECTED by measurement: each filtered side re-scans the signature
+    parquet, and decoding the 128-slot arrays twice more cost more
+    than the avoided join shuffles at both parallelism levels.)"""
     s1 = sigs.select(F.col("url").alias("url1"), F.col("sig").alias("_s1"))
     s2 = sigs.select(F.col("url").alias("url2"), F.col("sig").alias("_s2"))
     return (
@@ -151,5 +169,11 @@ def minhash_pass(
     """Full MinHash/LSH pass: signatures -> bands -> candidates ->
     verified (url1, url2, score, method='minhash')."""
     sigs = minhash_signatures(df, cfg, id_col, text_col)
+    # the signature subtree feeds the band explosion AND both sides of
+    # the score join; un-materialized it executes per consumer (the
+    # pipeline commits signatures as a stage for the same reason).
+    # Lazy local checkpoint: the first action materializes it once
+    # (measured 3.4 -> 3.0 s on the planted pass).
+    sigs = sigs.localCheckpoint(eager=False)
     pairs = candidate_pairs_from_bands(band_rows(sigs, cfg), cfg)
     return verify_jaccard(pairs, sigs, cfg)

@@ -31,9 +31,9 @@ def simhash_signatures(
     (reference dedup.py:422-423: len > 50)."""
     udf = make_simhash_udf()
     # even round-robin repartition before the signature UDF — same
-    # rationale as minhash_signatures (1-3 input splits would
-    # serialize the UDF)
-    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # rationale (and the same exactly-defaultParallelism sizing) as
+    # minhash_signatures
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.filter(F.length(text_col) > cfg.simhash_min_len)
         .select(F.col(id_col).alias("url"), normalize_text_expr(text_col).alias("_norm"))

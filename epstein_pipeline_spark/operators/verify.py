@@ -51,6 +51,17 @@ def exact_jaccard_pairs(
     k = cfg.shingle_k
     tcol = F.col(text_col) if pre_normalized else normalize_text_expr(text_col)
     t = docs.select(F.col(id_col).alias("url"), tcol.alias("_t"))
+    # semi-join the corpus text table down to urls that appear in a
+    # candidate pair before attaching texts: candidates are a sliver
+    # of the corpus, and the two attach joins would otherwise shuffle
+    # the full document-text table twice. The url set is a tiny
+    # distinct aggregate; AQE broadcasts the semi-join when it fits.
+    urls = (
+        cand.select(F.col("url1").alias("url"))
+        .unionByName(cand.select(F.col("url2").alias("url")))
+        .distinct()
+    )
+    t = t.join(urls, "url", "left_semi")
     # explicit hash-repartition on url1 before the UDF, for two
     # reasons: (a) candidate pairs are chain+star shaped (one hub url1
     # fans out to many url2s), so url1-clustering makes the

@@ -103,6 +103,36 @@ def test_simhash_udf_kernel_matches_py_twin(text):
     assert got[2] == 0
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=520))
+def test_blake2b8_matches_hashlib(data):
+    if _native.get_lib() is None:
+        return
+    import hashlib
+
+    want = int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+    assert _native.blake2b8(data) == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n é🙂"), max_size=60
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_simhash_full_native_path_matches_py_twin(texts):
+    # whitespace-adversarial inputs: the C tokenizer's single-space
+    # contract is established by the UDF's " ".join(t.split()) pre-pass
+    f = make_simhash_udf().func
+    got = f(pd.Series(texts)).tolist()
+    for t, g in zip(texts, got):
+        assert g == py_simhash(t)
+
+
 def test_simhash_weight_quantization_monotone():
     # fixed-point weights keep the log1p ordering (sanity on the grid)
     ws = [_weight_int(c) for c in range(1, 2000)]
