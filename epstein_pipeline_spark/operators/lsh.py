@@ -116,17 +116,24 @@ def candidate_pairs_from_bands(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     aggregate shuffles and hash-aggregates the same 2M rows the
     collect_list would, and the total went 4.7 s -> 10.3 s at 4
     cores/128k. The exchange of (band, url) rows is the irreducible
-    cost of banding; see OPTIMIZATION_r06.md.)"""
+    cost of banding; see OPTIMIZATION_r06.md.)
+
+    Members aggregate as PLAIN url strings, not struct(url): a
+    single-field struct adds nothing, and ``array_sort`` over structs
+    goes through the interpreted row ordering while strings compare as
+    raw binary — measured 7.9 -> 6.5 s at 4 cores/128k for the scored
+    candidate chain, identical pair set (struct(url) ordering IS url
+    ordering, so chain/star edges in capped buckets do not move)."""
     buckets = (
         bands.groupBy("band_i", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.struct("url"))).alias("_ms"))
+        .agg(F.array_sort(F.collect_list("url")).alias("_ms"))
         .filter(F.size("_ms") >= 2)
     )
     pairs = buckets.select(
         F.explode(bucket_pairs_expr(F.col("_ms"), cfg.band_bucket_cap)).alias("p")
     )
     return pairs.select(
-        F.col("p.a.url").alias("url1"), F.col("p.b.url").alias("url2")
+        F.col("p.a").alias("url1"), F.col("p.b").alias("url2")
     ).dropDuplicates(["url1", "url2"])
 
 

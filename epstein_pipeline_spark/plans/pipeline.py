@@ -18,6 +18,7 @@ the kill/rerun contract (reference state.py:86-111 semantics).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -148,6 +149,38 @@ def signatures_stage(spark: SparkSession, docs: DataFrame, cfg: DedupConfig) -> 
     )
 
 
+def _adaptive_split_bytes(spark: SparkSession, pages: DataFrame) -> int | None:
+    """Scale-adaptive input split size: ~6 scan tasks per core over the
+    actual input bytes, clamped to [8 MB, 128 MB]. The session default
+    (8 MB) exists so tiny test corpora still spread across all cores,
+    but at bench scale it fragments the scan into 50-130 splits whose
+    per-task overhead (python worker round trips, Arrow batch setup)
+    is pure fixed cost: measured on the 128k corpus, extract_stage
+    15.6 -> 14.0 s at 4 cores (29 vs 40 splits) and 58.1 -> 53.3 s at
+    1 core (10 vs 64 splits). Derived from input size + core count —
+    never a constant tuned to either the sandbox or a cluster; at
+    cluster scale (TB inputs) it clamps to the 128 MB production
+    default. Returns None (leave the session default) when the input
+    is not a file scan."""
+    try:
+        files = pages.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        p = unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    par = spark.sparkContext.defaultParallelism
+    return max(8 << 20, min(128 << 20, total // (6 * par) or 1))
+
+
 def run_dedup(
     spark: SparkSession,
     pages: DataFrame,
@@ -158,6 +191,31 @@ def run_dedup(
     lcs_check: bool = True,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
+
+    # every stage action happens inside this function (commits), so an
+    # entry-set/exit-restore of the split size covers the whole run
+    _split = _adaptive_split_bytes(spark, pages)
+    _old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    if _split is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(_split))
+    try:
+        return _run_dedup_staged(
+            spark, pages, store, cfg, resume, use_extracted, lcs_check, timings
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _old_split)
+
+
+def _run_dedup_staged(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: StageStore,
+    cfg: DedupConfig,
+    resume: bool,
+    use_extracted: bool,
+    lcs_check: bool,
+    timings: dict[str, float],
+) -> PipelineResult:
 
     # downstream stage manifests record the extract snapshot they were
     # computed FROM (for_extract_snapshot): the incremental plan's
