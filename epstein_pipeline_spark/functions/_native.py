@@ -315,6 +315,291 @@ int simhash_features(const uint8_t* data, const int64_t* offs, int64_t n_docs,
     return rc;
 }
 
+/* ---- ASCII extract/clean/normalize chain -------------------------
+   Byte-exact restatement of the py_extract_text ->
+   py_clean_ocr_noise -> py_normalize_text regex chain
+   (functions/text.py) for PURE-ASCII inputs. For ASCII, every regex
+   involved has plain byte-automaton semantics: (?i) is A-Z folding,
+   str \s / str.split() / str.strip() are the 6 ASCII whitespace
+   bytes, '.' is any-byte-but-\n, and utf-8 decode is the identity.
+   Non-ASCII inputs never reach these functions (the python wrapper
+   gates on bytes.isascii() and falls back to the re twins, which
+   remain the spec). Each pass scans its INPUT and emits to the
+   output buffer exactly like re.sub / str.replace: left-to-right,
+   non-overlapping, no rescani­ng of produced text. */
+
+static inline int aws(uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0x0b || c == 0x0c;
+}
+static inline uint8_t lcb(uint8_t c) { return (c >= 'A' && c <= 'Z') ? c + 32 : c; }
+
+static int pfx_ci(const uint8_t* s, int64_t n, int64_t i, const char* name) {
+    int64_t L = 0;
+    while (name[L]) L++;
+    if (i + L > n) return 0;
+    for (int64_t j = 0; j < L; j++)
+        if (lcb(s[i + j]) != (uint8_t)name[j]) return 0;
+    return (int)L;
+}
+
+/* (?is)<(script|style|nav|header|footer|title)[^>]*>.*?</\1>  ->  "" */
+static int64_t p_script(const uint8_t* s, int64_t n, uint8_t* d) {
+    static const char* tags[6] = {"script", "style", "nav", "header", "footer", "title"};
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (s[i] == '<') {
+            int L = 0, ti = -1;
+            for (int t = 0; t < 6; t++) {
+                L = pfx_ci(s, n, i + 1, tags[t]);
+                if (L) { ti = t; break; }  /* names are prefix-disjoint */
+            }
+            if (ti >= 0) {
+                int64_t k = i + 1 + L;
+                while (k < n && s[k] != '>') k++;   /* [^>]* then '>' */
+                if (k < n) {
+                    int64_t m = k + 1, close = -1;  /* lazy .*? : first close */
+                    while (m + L + 3 <= n) {
+                        if (s[m] == '<' && s[m + 1] == '/' &&
+                            pfx_ci(s, n, m + 2, tags[ti]) && s[m + 2 + L] == '>') {
+                            close = m;
+                            break;
+                        }
+                        m++;
+                    }
+                    if (close >= 0) { i = close + L + 3; continue; }
+                }
+            }
+        }
+        d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* (?i)</(p|div|h[1-6]|li|tr)>  ->  "\n" */
+static int64_t p_block(const uint8_t* s, int64_t n, uint8_t* d) {
+    /* alternation order is irrelevant here: first letters are all
+       distinct, so at most one name can match at a position */
+    static const char* tags[4] = {"p", "div", "li", "tr"};
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (s[i] == '<' && i + 1 < n && s[i + 1] == '/') {
+            int L = 0;
+            for (int t = 0; t < 4; t++) {
+                L = pfx_ci(s, n, i + 2, tags[t]);
+                if (L) break;
+            }
+            if (!L && i + 3 < n && lcb(s[i + 2]) == 'h' && s[i + 3] >= '1' && s[i + 3] <= '6')
+                L = 2;
+            if (L && i + 2 + L < n && s[i + 2 + L] == '>') {
+                d[o++] = '\n';
+                i += 3 + L;
+                continue;
+            }
+        }
+        d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* (?s)<[^>]+>  ->  "" */
+static int64_t p_tag(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (s[i] == '<') {
+            int64_t k = i + 1;
+            while (k < n && s[k] != '>') k++;
+            if (k < n && k > i + 1) { i = k + 1; continue; }
+        }
+        d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* str.replace(pat, rep), rep never longer than pat */
+static int64_t p_repl(const uint8_t* s, int64_t n, uint8_t* d,
+                      const char* pat, const char* rep) {
+    int64_t pl = 0, rl = 0, o = 0, i = 0;
+    while (pat[pl]) pl++;
+    while (rep[rl]) rl++;
+    while (i < n) {
+        if (s[i] == (uint8_t)pat[0] && i + pl <= n && memcmp(s + i, pat, (size_t)pl) == 0) {
+            memcpy(d + o, rep, (size_t)rl);
+            o += rl;
+            i += pl;
+        } else
+            d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* [ \t]+ -> " " */
+static int64_t p_sptab(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (s[i] == ' ' || s[i] == '\t') {
+            d[o++] = ' ';
+            while (i < n && (s[i] == ' ' || s[i] == '\t')) i++;
+        } else
+            d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* " ?\n ?" -> "\n" (greedy optionals, scan continues after match) */
+static int64_t p_nltrim(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (s[i] == ' ' && i + 1 < n && s[i + 1] == '\n') {
+            d[o++] = '\n';
+            i += 2;
+            if (i < n && s[i] == ' ') i++;
+        } else if (s[i] == '\n') {
+            d[o++] = '\n';
+            i++;
+            if (i < n && s[i] == ' ') i++;
+        } else
+            d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* \n{min_run,} -> "\n\n" */
+static int64_t p_nlcap(const uint8_t* s, int64_t n, uint8_t* d, int64_t min_run) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        if (s[i] == '\n') {
+            int64_t r = 0;
+            while (i + r < n && s[i + r] == '\n') r++;
+            int64_t emit = r >= min_run ? 2 : r;
+            for (int64_t j = 0; j < emit; j++) d[o++] = '\n';
+            i += r;
+        } else
+            d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* [\x00-\x08\x0b\x0c\x0e-\x1f] -> "" */
+static int64_t p_ctrl(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = s[i];
+        if (c <= 0x08 || c == 0x0b || c == 0x0c || (c >= 0x0e && c <= 0x1f)) continue;
+        d[o++] = c;
+    }
+    return o;
+}
+
+/* (.)\1{9,} -> three copies ('.' excludes \n) */
+static int64_t p_repeat(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        int64_t r = 1;
+        while (i + r < n && s[i + r] == s[i]) r++;
+        int64_t emit = (r >= 10 && s[i] != '\n') ? 3 : r;
+        for (int64_t j = 0; j < emit; j++) d[o++] = s[i];
+        i += r;
+    }
+    return o;
+}
+
+/* (?m)^[\s\-_=~.*#]{4,}$ -> "" (class includes \n, so one match can
+   swallow several rule lines; greedy with $-backtracking) */
+static inline int rulec(uint8_t c) {
+    return aws(c) || c == '-' || c == '_' || c == '=' || c == '~' ||
+           c == '.' || c == '*' || c == '#';
+}
+static int64_t p_rule(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0, i = 0;
+    int at_ls = 1;
+    while (i < n) {
+        if (at_ls && rulec(s[i])) {
+            int64_t e = i;
+            while (e < n && rulec(s[e])) e++;
+            int64_t m = -1;
+            if (e - i >= 4) {
+                if (e == n)
+                    m = n;          /* $ matches at end of string */
+                else {
+                    /* s[e] is non-class (hence != '\n'); backtrack to
+                       the largest end position followed by '\n' */
+                    for (int64_t q = e - 1; q >= i + 4; q--)
+                        if (s[q] == '\n') { m = q; break; }
+                }
+            }
+            if (m >= 0) {
+                i = m;              /* match deleted; s[m] (a '\n') survives */
+                at_ls = 0;
+                continue;
+            }
+        }
+        at_ls = (s[i] == '\n');
+        d[o++] = s[i++];
+    }
+    return o;
+}
+
+/* lower + \s+ -> " " + strip, one pass */
+static int64_t p_norm(const uint8_t* s, int64_t n, uint8_t* d) {
+    int64_t o = 0, i = 0;
+    int pend = 0;
+    while (i < n && aws(s[i])) i++;
+    for (; i < n; i++) {
+        if (aws(s[i]))
+            pend = 1;
+        else {
+            if (pend) { d[o++] = ' '; pend = 0; }
+            d[o++] = lcb(s[i]);
+        }
+    }
+    return o;
+}
+
+/* Full chain per doc; every pass shrinks, so scratch buffers of the
+   input length suffice. ext/norm outputs land at the doc's INPUT
+   offset in ext_buf/norm_buf (callers slice by the returned lengths). */
+void extract_chain_batch(const uint8_t* data, const int64_t* offs, int64_t n_docs,
+                         uint8_t* ext_buf, int64_t* ext_len,
+                         uint8_t* norm_buf, int64_t* norm_len,
+                         uint8_t* sa, uint8_t* sb)
+{
+    static const char* ents[6][2] = {
+        {"&lt;", "<"}, {"&gt;", ">"}, {"&quot;", "\""},
+        {"&#39;", "'"}, {"&nbsp;", " "}, {"&amp;", "&"},
+    };
+    for (int64_t di = 0; di < n_docs; di++) {
+        const uint8_t* src = data + offs[di];
+        int64_t n = offs[di + 1] - offs[di];
+        int64_t la = p_script(src, n, sa);
+        int64_t lb = p_block(sa, la, sb);
+        la = p_tag(sb, lb, sa);
+        /* entities: six sequential full passes, order fixed (&amp; last) */
+        lb = p_repl(sa, la, sb, ents[0][0], ents[0][1]);
+        la = p_repl(sb, lb, sa, ents[1][0], ents[1][1]);
+        lb = p_repl(sa, la, sb, ents[2][0], ents[2][1]);
+        la = p_repl(sb, lb, sa, ents[3][0], ents[3][1]);
+        lb = p_repl(sa, la, sb, ents[4][0], ents[4][1]);
+        la = p_repl(sb, lb, sa, ents[5][0], ents[5][1]);
+        lb = p_sptab(sa, la, sb);
+        la = p_nltrim(sb, lb, sa);
+        lb = p_nlcap(sa, la, sb, 2);
+        /* strip -> extracted_text */
+        int64_t lo = 0, hi = lb;
+        while (lo < hi && aws(sb[lo])) lo++;
+        while (hi > lo && aws(sb[hi - 1])) hi--;
+        int64_t le = hi - lo;
+        memcpy(ext_buf + offs[di], sb + lo, (size_t)le);
+        ext_len[di] = le;
+        /* clean_ocr_noise on the stripped text */
+        la = p_ctrl(sb + lo, le, sa);
+        lb = p_repeat(sa, la, sb);
+        la = p_rule(sb, lb, sa);
+        lb = p_nlcap(sa, la, sb, 3);
+        /* normalize -> text */
+        norm_len[di] = p_norm(sb, lb, norm_buf + offs[di]);
+    }
+}
+
 /* SimHash bit accumulation over (feature-hash, integer-weight) rows.
 
    hs/ws: concatenated per-doc feature hashes and fixed-point weights
@@ -396,6 +681,10 @@ def get_lib():
             u8p, i64p, ctypes.c_int64, u64p, i64p, i64p, ctypes.c_int64,
         ]
         lib.simhash_features.restype = ctypes.c_int
+        lib.extract_chain_batch.argtypes = [
+            u8p, i64p, ctypes.c_int64, u8p, i64p, u8p, i64p, u8p, u8p,
+        ]
+        lib.extract_chain_batch.restype = None
         _LIB = lib
     except Exception:
         _LIB = None
@@ -464,6 +753,40 @@ def simhash_features(enc: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarr
     np.cumsum(nfeat, out=fo[1:])
     tot = int(fo[-1])
     return out_hash[:tot], out_count[:tot], fo
+
+
+def extract_chain(enc: list[bytes]) -> tuple[list[bytes], list[bytes]] | None:
+    """(extracted_text, normalized_text) bytes per PURE-ASCII doc via
+    the compiled chain, or None when the library is unavailable.
+    Callers must pre-check ``bytes.isascii()`` — non-ASCII inputs go
+    through the python re twins (the spec)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(enc)
+    data = b"".join(enc)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(e) for e in enc), np.int64, n), out=offs[1:])
+    total = len(data)
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.empty(1, np.uint8)
+    ext_buf = np.empty(max(total, 1), dtype=np.uint8)
+    norm_buf = np.empty(max(total, 1), dtype=np.uint8)
+    ext_len = np.zeros(n, dtype=np.int64)
+    norm_len = np.zeros(n, dtype=np.int64)
+    maxlen = max((len(e) for e in enc), default=0)
+    sa = np.empty(max(maxlen, 1), dtype=np.uint8)
+    sb = np.empty(max(maxlen, 1), dtype=np.uint8)
+    lib.extract_chain_batch(
+        _as_ptr(buf, ctypes.c_uint8), _as_ptr(offs, ctypes.c_int64), n,
+        _as_ptr(ext_buf, ctypes.c_uint8), _as_ptr(ext_len, ctypes.c_int64),
+        _as_ptr(norm_buf, ctypes.c_uint8), _as_ptr(norm_len, ctypes.c_int64),
+        _as_ptr(sa, ctypes.c_uint8), _as_ptr(sb, ctypes.c_uint8),
+    )
+    ebytes = ext_buf.tobytes()
+    nbytes = norm_buf.tobytes()
+    ext = [ebytes[offs[i]:offs[i] + ext_len[i]] for i in range(n)]
+    norm = [nbytes[offs[i]:offs[i] + norm_len[i]] for i in range(n)]
+    return ext, norm
 
 
 def simhash_batch(hs: np.ndarray, ws: np.ndarray, offs: np.ndarray) -> np.ndarray | None:

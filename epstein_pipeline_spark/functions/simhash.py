@@ -140,9 +140,28 @@ def make_simhash_udf(ngram: int = 2):
         # fixed-point table, accumulate in C. Bit-identical to the
         # python path below (property-tested).
         if ngram == 2 and _native.get_lib() is not None:
-            enc = [
-                " ".join(t.split()).encode("utf-8") if t else b"" for t in texts
-            ]
+
+            def canon(t: str) -> bytes:
+                # the C tokenizer's contract is single-space-separated
+                # text with no leading/trailing space. Pipeline inputs
+                # are already normalized to that form, so re-joining is
+                # an identity that costs ~3.3 s/128k docs per core —
+                # the guard below (O(1) isascii + memchr scans) detects
+                # the canonical form and skips it (0.9 s), falling back
+                # to the join for any other caller's input.
+                if (
+                    t.isascii() and "  " not in t and "\t" not in t
+                    and "\n" not in t and "\r" not in t
+                    and "\x0b" not in t and "\x0c" not in t
+                    # \x1c-\x1f are whitespace to str.split() too
+                    and "\x1c" not in t and "\x1d" not in t
+                    and "\x1e" not in t and "\x1f" not in t
+                    and t[0] != " " and t[-1] != " "
+                ):
+                    return t.encode()
+                return " ".join(t.split()).encode("utf-8")
+
+            enc = [canon(t) if t else b"" for t in texts]
             feats = _native.simhash_features(enc)
             if feats is not None:
                 hs_all, counts, fo = feats

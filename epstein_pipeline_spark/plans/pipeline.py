@@ -63,38 +63,20 @@ _EXTRACT_SCHEMA = (
 
 
 def _extract_batches(batches):
-    """Arrow-batch worker for ``extract_stage``: the ``py_*`` twins of
-    the JVM extract/clean/normalize expressions (byte-identical —
-    the per-url invariant test pins expr == twin on whole corpora)
-    plus hashlib sha256. Python's ``re`` engine runs this chain ~2x
-    faster than the JVM ``regexp_replace`` cascade (measured 0.33 vs
-    0.71 ms/doc on the bench corpus), and compiled patterns are
-    module-level so a reused worker pays compilation once."""
-    import hashlib
-
+    """Arrow-batch worker for ``extract_stage``: the extract/clean/
+    normalize chain + sha256 via ``py_extract_normalize_batch`` — a
+    compiled byte-automaton chain for pure-ASCII docs (byte-identical
+    to the ``py_*`` re twins, which remain the spec and the fallback;
+    the per-url invariant test pins expr == twin on whole corpora).
+    Python's ``re`` engine already ran this chain ~2x faster than the
+    JVM ``regexp_replace`` cascade (0.33 vs 0.71 ms/doc); the compiled
+    chain is another ~4x on the bench corpus (0.096 ms/doc)."""
     import pyarrow as pa
 
-    from epstein_pipeline_spark.functions.text import (
-        py_clean_ocr_noise,
-        py_extract_text,
-        py_normalize_text,
-    )
+    from epstein_pipeline_spark.functions.text import py_extract_normalize_batch
 
     for batch in batches:
-        ext: list[str | None] = []
-        norm: list[str | None] = []
-        hsh: list[str | None] = []
-        for h in batch.column("html").to_pylist():
-            if h is None:
-                ext.append(None)
-                norm.append(None)
-                hsh.append(None)
-                continue
-            e = py_extract_text(h)
-            t = py_normalize_text(py_clean_ocr_noise(e))
-            ext.append(e)
-            norm.append(t)
-            hsh.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+        ext, norm, hsh = py_extract_normalize_batch(batch.column("html").to_pylist())
         yield pa.record_batch(
             [
                 batch.column("url"),
@@ -129,21 +111,29 @@ def signatures_stage(spark: SparkSession, docs: DataFrame, cfg: DedupConfig) -> 
 
     docs.text is already normalized by extract (normalize is
     idempotent) — re-normalizing here was a redundant full-corpus
-    regex pass in the single most expensive stage. Even round-robin
-    repartition before the signature UDF: input splits are byte-sized
-    off parquet files and leave a ragged tail wave; one cheap shuffle
-    buys evenly-loaded workers."""
+    regex pass in the single most expensive stage.
+
+    Repartition before the signature UDF only when the scan is
+    actually under-partitioned (< 2 tasks/core — e.g. a tiny corpus in
+    one parquet file would serialize the UDF on one task). At bench
+    scale the committed extract snapshot is already byte-balanced
+    across >= 6 splits/core (the adaptive split sizing above), and the
+    unconditional round-robin shuffle of the full text column was pure
+    overhead there: measured 16.0 vs 14.1 s at 4 cores/128k with
+    identical UDF work."""
     from epstein_pipeline_spark.functions.minhash import make_minhash_udf
     from epstein_pipeline_spark.functions.simhash import make_simhash_udf
 
     mh_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
     sh_udf = make_simhash_udf()
-    nparts = spark.sparkContext.defaultParallelism * 4
+    par = spark.sparkContext.defaultParallelism
+    gated = docs.filter(
+        F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len)
+    ).select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
+    if gated.rdd.getNumPartitions() < 2 * par:
+        gated = gated.repartition(4 * par)
     return (
-        docs.filter(F.length("text") > min(cfg.minhash_min_len, cfg.simhash_min_len))
-        .select("url", F.col("text").alias("_norm"), F.length("text").alias("_len"))
-        .repartition(nparts)
-        .withColumn("sig", mh_udf("_norm"))
+        gated.withColumn("sig", mh_udf("_norm"))
         .withColumn("simhash", sh_udf("_norm"))
         .select("url", "_len", "sig", "simhash")
     )

@@ -133,6 +133,63 @@ def test_simhash_full_native_path_matches_py_twin(texts):
         assert g == py_simhash(t)
 
 
+def _py_chain(b):
+    from epstein_pipeline_spark.functions.text import (
+        py_clean_ocr_noise,
+        py_extract_text,
+        py_normalize_text,
+    )
+
+    e = py_extract_text(b)
+    return e, py_normalize_text(py_clean_ocr_noise(e))
+
+
+_HTML_FRAGS = [
+    "<script>x</script>", "<ScRiPt a=b>zz</SCRIPT>", "<script>never closed",
+    "<style>s</style>", "<title>T</title>", "<nav id=1>n</nav>",
+    "<header>h</header>", "<footer>f</footer>", "</p>", "</P>", "</h3>",
+    "</h7>", "</pre>", "<div>", "</li></tr></div>", "<>", "<<a>>", "<b",
+    "&amp;lt;", "&amp;amp;", "&lt;tag&gt;", "&nbsp;&nbsp;", "&#39;q&#39;",
+    "a  \t b", " \n ", "\n\n\n\n", "\n" * 15, "x" * 12, "-" * 8,
+    "----\n----", "___\n====\nword", "  ==== ", "---x\n----", "\x07\x1b\x00",
+    "aAbB", ".", "#*~=", "*" * 4, "*" * 3, "\t\t", "\r\n\r\n", "a\r\rb",
+    "\v\f", "<scriptfoo>q</script>", "<navy>q</nav>", " \n\n ", "z \n z",
+    "eeeeeeeeeeee\nnnnnnnnnnnnnn",
+]
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(st.sampled_from(_HTML_FRAGS), min_size=0, max_size=8))
+def test_extract_chain_native_matches_py_twins(frags):
+    """The compiled ASCII extract/clean/normalize chain must be
+    byte-identical to the re twins — extracted text is the per-url
+    invariant and the normalized text feeds content_hash."""
+    if _native.get_lib() is None:
+        return
+    b = "".join(frags).encode()
+    assert b.isascii()
+    r = _native.extract_chain([b])
+    e, t = _py_chain(b)
+    assert r[0][0] == e.encode() and r[1][0] == t.encode()
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=300))
+def test_extract_batch_glue_matches_py_twins(data):
+    """py_extract_normalize_batch routes ASCII through the compiled
+    chain and everything else through the twins; either way the output
+    triple must equal the pure-python chain."""
+    import hashlib
+
+    from epstein_pipeline_spark.functions.text import py_extract_normalize_batch
+
+    ext, norm, hsh = py_extract_normalize_batch([data, None])
+    e, t = _py_chain(data)
+    assert (ext[0], norm[0]) == (e, t)
+    assert hsh[0] == hashlib.sha256(t.encode()).hexdigest()
+    assert ext[1] is None and norm[1] is None and hsh[1] is None
+
+
 def test_simhash_weight_quantization_monotone():
     # fixed-point weights keep the log1p ordering (sanity on the grid)
     ws = [_weight_int(c) for c in range(1, 2000)]
