@@ -342,32 +342,51 @@ static int pfx_ci(const uint8_t* s, int64_t n, int64_t i, const char* name) {
     return (int)L;
 }
 
+/* memcpy the stretch up to the next occurrence of byte c (or the end);
+   returns the index of that occurrence, or n. The pass loops below are
+   all "copy verbatim until the next interesting byte" — glibc's SIMD
+   memchr makes that stretch ~10x cheaper than a byte loop. */
+static inline int64_t skip_to(const uint8_t* s, int64_t n, int64_t i,
+                              uint8_t c, uint8_t* d, int64_t* o) {
+    const uint8_t* p = (const uint8_t*)memchr(s + i, c, (size_t)(n - i));
+    int64_t j = p ? (int64_t)(p - s) : n;
+    memcpy(d + *o, s + i, (size_t)(j - i));
+    *o += j - i;
+    return j;
+}
+
 /* (?is)<(script|style|nav|header|footer|title)[^>]*>.*?</\1>  ->  "" */
 static int64_t p_script(const uint8_t* s, int64_t n, uint8_t* d) {
     static const char* tags[6] = {"script", "style", "nav", "header", "footer", "title"};
     int64_t o = 0, i = 0;
     while (i < n) {
-        if (s[i] == '<') {
-            int L = 0, ti = -1;
-            for (int t = 0; t < 6; t++) {
-                L = pfx_ci(s, n, i + 1, tags[t]);
-                if (L) { ti = t; break; }  /* names are prefix-disjoint */
-            }
-            if (ti >= 0) {
-                int64_t k = i + 1 + L;
-                while (k < n && s[k] != '>') k++;   /* [^>]* then '>' */
-                if (k < n) {
-                    int64_t m = k + 1, close = -1;  /* lazy .*? : first close */
-                    while (m + L + 3 <= n) {
-                        if (s[m] == '<' && s[m + 1] == '/' &&
-                            pfx_ci(s, n, m + 2, tags[ti]) && s[m + 2 + L] == '>') {
-                            close = m;
-                            break;
-                        }
-                        m++;
+        i = skip_to(s, n, i, '<', d, &o);
+        if (i >= n) break;
+        int L = 0, ti = -1;
+        for (int t = 0; t < 6; t++) {
+            L = pfx_ci(s, n, i + 1, tags[t]);
+            if (L) { ti = t; break; }  /* names are prefix-disjoint */
+        }
+        if (ti >= 0) {
+            int64_t k = i + 1 + L;
+            const uint8_t* g = (const uint8_t*)memchr(s + k, '>', (size_t)(n - k));
+            k = g ? (int64_t)(g - s) : n;       /* [^>]* then '>' */
+            if (k < n) {
+                int64_t m = k + 1, close = -1;  /* lazy .*? : first close */
+                while (m + L + 3 <= n) {
+                    const uint8_t* p =
+                        (const uint8_t*)memchr(s + m, '<', (size_t)(n - m));
+                    if (!p) break;
+                    m = (int64_t)(p - s);
+                    if (m + L + 3 > n) break;
+                    if (s[m + 1] == '/' && pfx_ci(s, n, m + 2, tags[ti]) &&
+                        s[m + 2 + L] == '>') {
+                        close = m;
+                        break;
                     }
-                    if (close >= 0) { i = close + L + 3; continue; }
+                    m++;
                 }
+                if (close >= 0) { i = close + L + 3; continue; }
             }
         }
         d[o++] = s[i++];
@@ -382,7 +401,9 @@ static int64_t p_block(const uint8_t* s, int64_t n, uint8_t* d) {
     static const char* tags[4] = {"p", "div", "li", "tr"};
     int64_t o = 0, i = 0;
     while (i < n) {
-        if (s[i] == '<' && i + 1 < n && s[i + 1] == '/') {
+        i = skip_to(s, n, i, '<', d, &o);
+        if (i >= n) break;
+        if (i + 1 < n && s[i + 1] == '/') {
             int L = 0;
             for (int t = 0; t < 4; t++) {
                 L = pfx_ci(s, n, i + 2, tags[t]);
@@ -405,11 +426,11 @@ static int64_t p_block(const uint8_t* s, int64_t n, uint8_t* d) {
 static int64_t p_tag(const uint8_t* s, int64_t n, uint8_t* d) {
     int64_t o = 0, i = 0;
     while (i < n) {
-        if (s[i] == '<') {
-            int64_t k = i + 1;
-            while (k < n && s[k] != '>') k++;
-            if (k < n && k > i + 1) { i = k + 1; continue; }
-        }
+        i = skip_to(s, n, i, '<', d, &o);
+        if (i >= n) break;
+        const uint8_t* g = (const uint8_t*)memchr(s + i + 1, '>', (size_t)(n - i - 1));
+        int64_t k = g ? (int64_t)(g - s) : n;
+        if (k < n && k > i + 1) { i = k + 1; continue; }
         d[o++] = s[i++];
     }
     return o;
@@ -422,7 +443,9 @@ static int64_t p_repl(const uint8_t* s, int64_t n, uint8_t* d,
     while (pat[pl]) pl++;
     while (rep[rl]) rl++;
     while (i < n) {
-        if (s[i] == (uint8_t)pat[0] && i + pl <= n && memcmp(s + i, pat, (size_t)pl) == 0) {
+        i = skip_to(s, n, i, (uint8_t)pat[0], d, &o);
+        if (i >= n) break;
+        if (i + pl <= n && memcmp(s + i, pat, (size_t)pl) == 0) {
             memcpy(d + o, rep, (size_t)rl);
             o += rl;
             i += pl;
@@ -467,14 +490,13 @@ static int64_t p_nltrim(const uint8_t* s, int64_t n, uint8_t* d) {
 static int64_t p_nlcap(const uint8_t* s, int64_t n, uint8_t* d, int64_t min_run) {
     int64_t o = 0, i = 0;
     while (i < n) {
-        if (s[i] == '\n') {
-            int64_t r = 0;
-            while (i + r < n && s[i + r] == '\n') r++;
-            int64_t emit = r >= min_run ? 2 : r;
-            for (int64_t j = 0; j < emit; j++) d[o++] = '\n';
-            i += r;
-        } else
-            d[o++] = s[i++];
+        i = skip_to(s, n, i, '\n', d, &o);
+        if (i >= n) break;
+        int64_t r = 0;
+        while (i + r < n && s[i + r] == '\n') r++;
+        int64_t emit = r >= min_run ? 2 : r;
+        for (int64_t j = 0; j < emit; j++) d[o++] = '\n';
+        i += r;
     }
     return o;
 }
@@ -511,9 +533,9 @@ static inline int rulec(uint8_t c) {
 }
 static int64_t p_rule(const uint8_t* s, int64_t n, uint8_t* d) {
     int64_t o = 0, i = 0;
-    int at_ls = 1;
+    /* invariant: i is at a line start on loop entry */
     while (i < n) {
-        if (at_ls && rulec(s[i])) {
+        if (rulec(s[i])) {
             int64_t e = i;
             while (e < n && rulec(s[e])) e++;
             int64_t m = -1;
@@ -527,14 +549,21 @@ static int64_t p_rule(const uint8_t* s, int64_t n, uint8_t* d) {
                         if (s[q] == '\n') { m = q; break; }
                 }
             }
+            if (m >= n) break;      /* matched through EOS */
             if (m >= 0) {
-                i = m;              /* match deleted; s[m] (a '\n') survives */
-                at_ls = 0;
+                d[o++] = '\n';      /* match deleted; s[m] survives */
+                i = m + 1;          /* next line start */
                 continue;
             }
         }
-        at_ls = (s[i] == '\n');
-        d[o++] = s[i++];
+        /* no match on this line: copy through its '\n' (or to EOS) */
+        {
+            const uint8_t* p = (const uint8_t*)memchr(s + i, '\n', (size_t)(n - i));
+            int64_t j = p ? (int64_t)(p - s) + 1 : n;
+            memcpy(d + o, s + i, (size_t)(j - i));
+            o += j - i;
+            i = j;
+        }
     }
     return o;
 }

@@ -215,7 +215,15 @@ def decode_png(content: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise UnsupportedImageError("palette PNG missing PLTE")
-        return plte[px[:, :, 0]]
+        idx = px[:, :, 0]
+        # malformed files may index past the PLTE table; the module
+        # contract is UnsupportedImageError, never a bare IndexError
+        if idx.size and int(idx.max()) >= len(plte):
+            raise UnsupportedImageError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {len(plte)} entries)"
+            )
+        return plte[idx]
     # alpha types: composite over white
     rgb = px[:, :, :3] if ctype == 6 else np.repeat(px[:, :, :1], 3, axis=2)
     alpha = px[:, :, -1:].astype(np.float64) / 255.0

@@ -10,7 +10,8 @@ as a first-class stage. Semantics follow the published convention
 the synthetic web corpus's short pages test with n=8).
 
 Scale shape (10^12 training pages, 10^5-10^6 benchmark items):
-- Benchmark grams fingerprint to longs JVM-side (xxhash64 token fold,
+- Benchmark grams fingerprint to longs JVM-side (polynomial
+  rolling-hash byte-span fingerprints with a murmur-style finalizer,
   ``functions/grams.py`` — no text leaves the benchmark scan) and are
   DISTINCT-ed — typically a few million longs, a broadcast-sized set.
 - The corpus side explodes its own gram hashes map-side and

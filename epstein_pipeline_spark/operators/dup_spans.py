@@ -30,7 +30,8 @@ gram count + per-doc interval merge, with no global sort:
   and merges each doc's hit positions into maximal [start, end]
   token islands with a single ``aggregate`` over the sorted
   positions — O(hits) per doc, no per-token blowup.
-- Gram fingerprints are 64-bit token-fold longs built per
+- Gram fingerprints are 64-bit polynomial rolling-hash byte-span
+  longs (murmur-style finalizer) built per
   ``functions/grams.py`` (Generate-barrier construction — see that
   module for the Catalyst alias-substitution hazard and the
   per-gram string-churn cost it avoids): corpus text never enters

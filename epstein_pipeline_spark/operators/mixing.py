@@ -66,10 +66,18 @@ def mix_to_budgets(
     else:
         budgets_df = budgets
 
+    # split("") == [""] would count 1 token for empty/whitespace-only
+    # docs (inflating totals and lowering thresholds), and NULL text
+    # would contribute NULL n_tokens rows that drop from totals while
+    # still passing the u<threshold filter — coalesce + zero-gate both
     n_tokens = (
         F.col(tokens_col)
         if tokens_col
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+        else F.when(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0, F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
     )
     base = docs.withColumn("n_tokens", n_tokens)
 
