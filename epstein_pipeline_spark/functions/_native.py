@@ -245,11 +245,14 @@ int simhash_features(const uint8_t* data, const int64_t* offs, int64_t n_docs,
     int64_t* tok_e = (int64_t*)malloc(tok_cap * sizeof(int64_t));
     int64_t map_cap = 8192;  /* power of two */
     int64_t* m_first = (int64_t*)malloc(map_cap * sizeof(int64_t));
-    /* parallel arrays indexed by insertion order */
+    /* parallel arrays indexed by insertion order (f_hv caches the
+       span's fnv so the memo probe below never rescans the bytes) */
     int64_t* f_off = (int64_t*)malloc(cap_feats > 0 ? cap_feats * sizeof(int64_t) : 8);
     int64_t* f_len = (int64_t*)malloc(cap_feats > 0 ? cap_feats * sizeof(int64_t) : 8);
-    if (!memo || !tok_s || !tok_e || !m_first || !f_off || !f_len) {
-        free(memo); free(tok_s); free(tok_e); free(m_first); free(f_off); free(f_len);
+    uint64_t* f_hv = (uint64_t*)malloc(cap_feats > 0 ? cap_feats * sizeof(uint64_t) : 8);
+    if (!memo || !tok_s || !tok_e || !m_first || !f_off || !f_len || !f_hv) {
+        free(memo); free(tok_s); free(tok_e); free(m_first);
+        free(f_off); free(f_len); free(f_hv);
         return -1;
     }
 
@@ -301,6 +304,7 @@ int simhash_features(const uint8_t* data, const int64_t* offs, int64_t n_docs,
                 if (idx < 0) {
                     m_first[slot] = nuniq;
                     f_off[nuniq] = base + fo; f_len[nuniq] = fl;
+                    f_hv[nuniq] = hv;
                     doc_count[nuniq] = 1;
                     nuniq++;
                     break;
@@ -317,7 +321,7 @@ int simhash_features(const uint8_t* data, const int64_t* offs, int64_t n_docs,
         for (int64_t u = 0; u < nuniq; u++) {
             const uint8_t* fp = data + f_off[u];
             const int64_t fl = f_len[u];
-            uint64_t hv = span_fnv(fp, fl);
+            uint64_t hv = f_hv[u];
             uint64_t slot = hv & mmask;
             uint64_t b2 = 0; int found = 0;
             if (mused < mlimit) {
@@ -343,7 +347,8 @@ int simhash_features(const uint8_t* data, const int64_t* offs, int64_t n_docs,
         out_nfeat[d] = nuniq;
         out_pos += nuniq;
     }
-    free(memo); free(tok_s); free(tok_e); free(m_first); free(f_off); free(f_len);
+    free(memo); free(tok_s); free(tok_e); free(m_first);
+    free(f_off); free(f_len); free(f_hv);
     return rc;
 }
 
