@@ -102,7 +102,19 @@ def exact_jaccard_pairs(
                 if s1.shape[0] == 0 and s2.shape[0] == 0:
                     scores[i] = 1.0
                     continue
-                inter = np.intersect1d(s1, s2, assume_unique=True).shape[0]
+                # _shingle_hashes returns np.unique output — sorted,
+                # deduped — so the intersection is a searchsorted
+                # probe of the smaller array into the larger, not the
+                # concat-and-sort np.intersect1d pays per pair
+                big, small = (s1, s2) if s1.shape[0] >= s2.shape[0] else (s2, s1)
+                if small.shape[0] == 0:
+                    inter = 0
+                else:
+                    idx = np.searchsorted(big, small)
+                    # idx == len(big) means small[i] > big[-1]; clamp
+                    # and let the equality test reject it
+                    np.minimum(idx, big.shape[0] - 1, out=idx)
+                    inter = int(np.count_nonzero(big[idx] == small))
                 union = s1.shape[0] + s2.shape[0] - inter
                 scores[i] = inter / union if union else 0.0
             out = pdf[["url1", "url2"]].assign(score=scores)
