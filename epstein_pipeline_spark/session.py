@@ -72,6 +72,14 @@ def get_spark(
             os.environ.get("SPARK_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
         )
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # FileOutputCommitter v2: task outputs commit directly to the
+        # destination instead of a rename-per-file job commit (~60 ms
+        # per 16-file parquet write, x10 stage commits per dedup run).
+        # Safe under the StageStore contract: readers only ever see a
+        # snapshot AFTER its manifest publishes, so a crash mid-write
+        # leaves an unpublished (invisible) partial dir either way —
+        # the engine never relies on _SUCCESS or job-commit atomicity.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
